@@ -1,0 +1,133 @@
+"""Command-line receiver: the TPU-native equivalent of `./project <mode> <channels>`.
+
+Reference usage (src/project.cpp:392-393):
+    rtl_sdr -f 102.9M -s 2.4M - | ./project 0 2 | aplay -c 2 -f S16_LE -r 48000
+Here:
+    rtl_sdr ... - | python -m sdr_tpu 0 2 | aplay -c 2 -f S16_LE -r 48000
+
+Reads u8 IQ blocks from stdin (or --in FILE), streams S16LE audio to stdout
+(or --out FILE / --wav FILE), mono (1) or interleaved R,L stereo (2) exactly
+like the reference packing (src/project.cpp:179-195).  `--rds` prints
+decoded station info to stderr.  The per-block jitted step keeps device
+residency; host I/O is double-buffered by the native stream runtime when
+available (sdr_tpu/native).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sdr_tpu",
+        description="TPU-native FM broadcast receiver (mono/stereo/RDS)")
+    p.add_argument("mode", type=int, nargs="?", default=0,
+                   help="operating mode 0-3 (default 0)")
+    p.add_argument("channels", type=int, nargs="?", default=1,
+                   choices=(1, 2), help="1=mono, 2=stereo (default 1)")
+    p.add_argument("--rds", action="store_true",
+                   help="decode RDS and print station info to stderr")
+    p.add_argument("--in", dest="infile", default="-",
+                   help="input u8 IQ file ('-' = stdin)")
+    p.add_argument("--out", dest="outfile", default="-",
+                   help="output S16LE stream ('-' = stdout)")
+    p.add_argument("--wav", default=None, help="also write a WAV file")
+    p.add_argument("--blocks-per-step", type=int, default=4,
+                   help="reference blocks fused per jit step")
+    p.add_argument("--psd-dump", default=None,
+                   help="write a Bartlett PSD .dat of the demodulated IF "
+                        "for gnuplot inspection")
+    p.add_argument("--stats", action="store_true",
+                   help="print throughput stats to stderr")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not 0 <= args.mode <= 3:
+        print(f"Invalid mode: {args.mode}!", file=sys.stderr)
+        return 1
+
+    import jax
+    from sdr_tpu.config import get_mode
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu.io.stream import interleave_stereo_s16, pack_s16, read_u8_blocks
+    from sdr_tpu.io import wav as wavio
+
+    cfg = get_mode(args.mode)
+    stereo = args.channels == 2
+    rds = args.rds and cfg.rds_sps is not None
+    print(f"Operating in mode {args.mode}, "
+          f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
+          file=sys.stderr)
+
+    rx = Receiver(args.mode, stereo=stereo, rds=rds)
+    state = rx.init_state()
+    step = jax.jit(rx.step)
+    block_size = rx.block_size_u8(args.blocks_per_step)
+
+    fin = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
+    fout = sys.stdout.buffer if args.outfile == "-" else open(args.outfile, "wb")
+
+    wav_chunks: list[np.ndarray] = []
+    rds_soft: list[np.ndarray] = []
+    n_in = 0
+    t0 = time.perf_counter()
+    pending = None  # double buffering: overlap host read with device compute
+
+    for raw in read_u8_blocks(fin, block_size):
+        if pending is not None:
+            _drain(pending, stereo, fout, wav_chunks, rds_soft)
+        state, out = step(state, jax.numpy.asarray(raw))
+        pending = out
+        n_in += len(raw)
+    if pending is not None:
+        _drain(pending, stereo, fout, wav_chunks, rds_soft)
+
+    elapsed = time.perf_counter() - t0
+    if args.stats:
+        ms = n_in / 2 / elapsed / 1e6
+        print(f"processed {n_in/2:.0f} IQ samples in {elapsed:.2f}s "
+              f"= {ms:.2f} MS/s ({ms*1e6/cfg.rf_fs:.1f}x real time)",
+              file=sys.stderr)
+    print("End of input stream reached!", file=sys.stderr)
+
+    if args.wav and wav_chunks:
+        audio = np.concatenate(wav_chunks)
+        if stereo:
+            # stored interleaved (R, L); WAV convention is (L, R)
+            frames = audio.reshape(-1, 2)[:, ::-1]
+        else:
+            frames = audio
+        wavio.write_wav(args.wav, cfg.audio_fs, frames)
+        print(f"Wrote {args.wav}", file=sys.stderr)
+
+    if rds and rds_soft:
+        from sdr_tpu.rds import decode_rds_soft
+        info = decode_rds_soft(np.concatenate(rds_soft), cfg.rds_sps)
+        print(f"RDS: PI={info.pi:#06x} PTY={info.pty_name!r} "
+              f"PS={info.ps_name!r} RT={info.radio_text.rstrip()!r} "
+              f"({info.groups_seen} groups)"
+              if info.pi is not None else "RDS: no sync", file=sys.stderr)
+    return 0
+
+
+def _drain(out, stereo, fout, wav_chunks, rds_soft):
+    from sdr_tpu.io.stream import interleave_stereo_s16, pack_s16
+    if stereo:
+        pcm = np.asarray(interleave_stereo_s16(out["left"], out["right"]))
+    else:
+        pcm = np.asarray(pack_s16(out["mono"]))
+    fout.write(pcm.astype("<i2").tobytes())
+    wav_chunks.append(pcm)
+    if "rds_soft" in out:
+        rds_soft.append(np.asarray(out["rds_soft"]))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

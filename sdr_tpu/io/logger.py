@@ -1,0 +1,56 @@
+"""Signal tracing: .dat dumps for gnuplot-style inspection.
+
+Reference: src/logfunc.cpp:14-43 (`genIndexVector`, `logVector`).  Each dump
+is an x/y two-column text file consumed by the reference's gnuplot scripts
+(data/example.gnuplot etc.).  Also provides a named-scope profiler shim over
+jax.profiler (the TPU-side analogue of the report template's per-stage
+timing requirement, SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import numpy as np
+
+
+def gen_index_vector(n: int) -> np.ndarray:
+    """0..n-1 index vector (reference src/logfunc.cpp:14-21)."""
+    return np.arange(n, dtype=np.float32)
+
+
+def log_vector(filename: str, x: np.ndarray, y: np.ndarray) -> None:
+    """Write '<x>\t<y>' lines with 5-digit precision, .dat suffix
+    (reference src/logfunc.cpp:23-43)."""
+    x = np.asarray(x).ravel()
+    y = np.asarray(y).ravel()
+    with open(f"{filename}.dat", "w") as f:
+        f.write("# x\ty\n")
+        for xi, yi in zip(x, y):
+            f.write(f"{xi:.5f}\t{yi:.5f}\n")
+
+
+@contextlib.contextmanager
+def stage_scope(name: str):
+    """Named profiling scope: shows up in jax.profiler traces and records
+    wall time.  Usage: `with stage_scope('rf_frontend'): ...`."""
+    with jax.profiler.TraceAnnotation(name):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            _STAGE_TIMES.setdefault(name, []).append(time.perf_counter() - t0)
+
+
+_STAGE_TIMES: dict[str, list[float]] = {}
+
+
+def stage_times() -> dict[str, float]:
+    """Mean wall time per recorded stage (seconds)."""
+    return {k: float(np.mean(v)) for k, v in _STAGE_TIMES.items()}
+
+
+def reset_stage_times() -> None:
+    _STAGE_TIMES.clear()

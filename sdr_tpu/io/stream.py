@@ -1,0 +1,84 @@
+"""Stream ingest/egress: u8 IQ decode, s16 audio pack, block framing.
+
+Reference semantics:
+ - ingest:  u8 -> float32 in [-1, +1) via (x - 128)/128
+   (reference: src/iofunc.cpp:62-69 `readStdinBlockData`,
+   model/fmMonoBlock.py:170).
+ - egress:  float32 audio -> s16 with NaN->0 guard and x16384 gain,
+   interleaved R,L for stereo (reference: src/project.cpp:183-193).
+
+TPU-first: ship *bytes* to the device and decode there (SURVEY §7
+hard-part 5 — 4.8 MB/s/channel of u8 beats 19.2 MB/s of f32 over PCIe);
+`decode_u8_iq` runs on-device under jit.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import BinaryIO, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def u8_to_f32(raw: jax.Array) -> jax.Array:
+    """Normalize u8 samples to float32 [-1, +1) (reference src/iofunc.cpp:67)."""
+    return (raw.astype(jnp.float32) - 128.0) / 128.0
+
+
+@jax.jit
+def decode_u8_iq(raw: jax.Array):
+    """u8 interleaved IQ block (..., 2N) -> (I (..., N), Q (..., N)) float32.
+
+    Combines the normalize (src/iofunc.cpp:67) and deinterleave
+    (src/project.cpp:57-62) stages; runs on-device.
+    """
+    f = u8_to_f32(raw)
+    shaped = f.reshape(*f.shape[:-1], f.shape[-1] // 2, 2)
+    return shaped[..., 0], shaped[..., 1]
+
+
+@jax.jit
+def pack_s16(x: jax.Array) -> jax.Array:
+    """float32 audio -> int16 with NaN->0 guard and x16384 gain
+    (reference src/project.cpp:183-193).  C++ float->short conversion
+    truncates toward zero, reproduced with jnp.trunc."""
+    scaled = jnp.where(jnp.isnan(x), 0.0, x * 16384.0)
+    return jnp.trunc(scaled).astype(jnp.int16)
+
+
+@jax.jit
+def interleave_stereo_s16(left: jax.Array, right: jax.Array) -> jax.Array:
+    """Interleave as (R, L) pairs exactly like reference src/project.cpp:183-193."""
+    r = pack_s16(right)
+    l = pack_s16(left)
+    return jnp.stack([r, l], axis=-1).reshape(*r.shape[:-1], 2 * r.shape[-1])
+
+
+def read_u8_blocks(stream: BinaryIO, block_size: int) -> Iterator[np.ndarray]:
+    """Yield full u8 blocks from a binary stream; a short final read ends
+    iteration (reference rf_thread EOF behavior, src/project.cpp:50-54)."""
+    while True:
+        buf = stream.read(block_size)
+        if buf is None or len(buf) < block_size:
+            return
+        yield np.frombuffer(buf, dtype=np.uint8)
+
+
+def read_bin_f32(path: str) -> np.ndarray:
+    """Read a float32 binary dump (reference src/iofunc.cpp:32-47 `readBinData`)."""
+    return np.fromfile(path, dtype=np.float32)
+
+
+def write_bin_f32(path: str, data: np.ndarray) -> None:
+    """Write a float32 binary dump (reference src/iofunc.cpp:49-60 `writeBinData`)."""
+    np.asarray(data, dtype=np.float32).tofile(path)
+
+
+def write_s16_stream(data: np.ndarray, stream: BinaryIO | None = None) -> None:
+    """Write raw S16LE samples to a binary stream (default stdout), matching
+    the reference's fwrite of short int (src/project.cpp:195)."""
+    out = stream if stream is not None else sys.stdout.buffer
+    out.write(np.asarray(data, dtype="<i2").tobytes())

@@ -1,0 +1,290 @@
+"""The FM broadcast receiver: one pure, jittable `step(state, iq_block)`.
+
+TPU-first architecture (SURVEY §7 design stance): the reference's 3-thread
+pipeline + bounded queue (src/project.cpp:17-271) dissolves into a single
+pure function over one block — channelize -> FM demod -> mono/stereo/RDS —
+jitted once and scanned over blocks (`lax.scan`) for offline processing, or
+driven block-at-a-time for live streaming.  Independent RF channels batch
+over a leading axis (vmap-free: every op is batch-polymorphic) and shard
+over a device mesh (sdr_tpu.parallel).
+
+Signal chain per block (reference call stack SURVEY §3.1):
+  u8 IQ --decode--> I,Q --LPF 100k + decim--> IF --discriminator--> fm_demod
+    mono:   fm_demod --U/D resample LPF 16k--> audio            (project.cpp:146)
+    stereo: fm_demod --BPF 22-54k--> L-R DSB --mixer(PLL 19k x2)-->
+            --U/D resample LPF 16k--> stereo;  L/R matrix w/ delayed mono
+                                                          (project.cpp:150-175)
+    rds:    fm_demod --BPF 54-60k--> channel --(square, BPF 113.5-114.5k,
+            PLL 114k scale .5)--> 57k carrier --mixer--> baseband
+            --LPF 3k + U/D resample--> SPS*2375 --RRC--> soft waveform
+                                      (project.cpp:200-271 + spec pp.13-14)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdr_tpu.config import ModeConfig, get_mode
+from sdr_tpu.ops import firdes
+from sdr_tpu.ops.demod import fm_discriminator
+from sdr_tpu.ops.pll import PLLState, pll, pll_init
+from sdr_tpu.ops.pointwise import delay_line, lr_matrix, mixer
+from sdr_tpu.ops.resample import PolyphaseResampler, fir_filter
+from sdr_tpu.io.stream import decode_u8_iq
+from sdr_tpu.models.state import (FrontEndState, MonoState, RdsState,
+                                  ReceiverState, StereoState)
+
+
+class Receiver:
+    """Configured receiver for one operating mode.
+
+    Args:
+      mode: 0-3 (sdr_tpu.config.MODES) or a custom ModeConfig.
+      stereo: decode the stereo subcarrier (else mono only).
+      rds: decode the RDS subcarrier to RRC-filtered soft waveform
+           (requires a mode with rds_sps).
+      compat_shared_audio_state: reproduce the reference defect of sharing
+           one resampler tail between the mono and stereo audio filters
+           (src/project.cpp:146,172) for bit-parity experiments.
+      pll_wrap_phase: carry the pilot/RDS PLL phase modulo its period
+           (improvement over reference; see ops/pll.py).
+      rds_pll_bandwidth: loop bandwidth for the 57 kHz carrier PLL (the
+           reference used 0.01 at src/project.cpp:257; narrower tracks the
+           squared carrier with less phase noise).
+    """
+
+    def __init__(self, mode: int | ModeConfig = 0, *, stereo: bool = False,
+                 rds: bool = False, compat_shared_audio_state: bool = False,
+                 pll_wrap_phase: bool = True,
+                 rds_pll_bandwidth: float = 0.003,
+                 rds_rrc_taps: int = 151):
+        cfg = get_mode(mode) if isinstance(mode, int) else mode
+        if rds and cfg.rds_sps is None:
+            raise ValueError(f"mode {cfg.mode} does not support RDS")
+        self.cfg = cfg
+        self.stereo = stereo
+        self.rds = rds
+        self.compat_shared_audio_state = compat_shared_audio_state
+        self.pll_wrap_phase = pll_wrap_phase
+        self.rds_pll_bandwidth = rds_pll_bandwidth
+
+        if_fs = cfg.if_fs
+        # --- filter design (once, host-side; reference project.cpp:37,97,104,117)
+        rf_coeff = firdes.lowpass(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps, 1)
+        audio_coeff = firdes.lowpass(if_fs * cfg.audio_interp, cfg.audio_fc,
+                                     cfg.audio_taps, cfg.audio_gain)
+        self.rf_resampler = PolyphaseResampler(rf_coeff, 1, cfg.rf_decim)
+        self.audio_resampler = PolyphaseResampler(audio_coeff, cfg.audio_interp,
+                                                  cfg.audio_decim)
+        if stereo:
+            chan_coeff = firdes.bandpass(if_fs, cfg.stereo_lo, cfg.stereo_hi,
+                                         cfg.bp_taps)
+            pilot_coeff = firdes.bandpass(if_fs, cfg.pilot_lo, cfg.pilot_hi,
+                                          cfg.bp_taps)
+            self.channel_filter = fir_filter(chan_coeff)
+            self.carrier_filter = fir_filter(pilot_coeff)
+            self.stereo_audio_resampler = PolyphaseResampler(
+                audio_coeff, cfg.audio_interp, cfg.audio_decim)
+        if rds:
+            u, d = cfg.rds_resample
+            self.rds_u, self.rds_d = u, d
+            rds_chan = firdes.bandpass(if_fs, cfg.rds_lo, cfg.rds_hi, cfg.bp_taps)
+            rds_carr = firdes.bandpass(if_fs, cfg.rds_carrier_lo,
+                                       cfg.rds_carrier_hi, cfg.bp_taps)
+            rds_lpf = firdes.lowpass(if_fs * u, cfg.rds_fc, cfg.bp_taps * u, u)
+            rrc = firdes.root_raised_cosine(cfg.rds_fs, rds_rrc_taps,
+                                            cfg.rds_symbol_rate)
+            self.rds_channel_filter = fir_filter(rds_chan)
+            self.rds_carrier_filter = fir_filter(rds_carr)
+            self.rds_resampler = PolyphaseResampler(rds_lpf, u, d)
+            self.rds_rrc = fir_filter(rrc)
+            # group-delay alignment of the channel path against the
+            # square->BPF(51 taps)->PLL carrier path (spec Fig 10 all-pass)
+            self.rds_delay = (cfg.bp_taps - 1) // 2
+            # IF samples per block must make symbols integral:
+            # need d | n_if and sps | n_if*u/d.
+            g = np.gcd(cfg.rds_sps, u)
+            self.rds_if_align = d * cfg.rds_sps // g
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, batch_shape: tuple[int, ...] = ()) -> ReceiverState:
+        f32 = jnp.float32
+        front = FrontEndState(
+            i_tail=self.rf_resampler.init_state(batch_shape),
+            q_tail=self.rf_resampler.init_state(batch_shape),
+            prev_i=jnp.zeros(batch_shape, f32),
+            prev_q=jnp.zeros(batch_shape, f32),
+        )
+        mono = MonoState(audio_tail=self.audio_resampler.init_state(batch_shape))
+        stereo = None
+        if self.stereo:
+            stereo = StereoState(
+                channel_tail=self.channel_filter.init_state(batch_shape),
+                carrier_tail=self.carrier_filter.init_state(batch_shape),
+                pll=pll_init(batch_shape),
+                mono_delay=jnp.zeros(batch_shape + (self.cfg.mono_delay,), f32),
+                stereo_audio_tail=self.stereo_audio_resampler.init_state(batch_shape),
+            )
+        rds = None
+        if self.rds:
+            rds = RdsState(
+                channel_tail=self.rds_channel_filter.init_state(batch_shape),
+                carrier_tail=self.rds_carrier_filter.init_state(batch_shape),
+                pll=pll_init(batch_shape),
+                delay=jnp.zeros(batch_shape + (self.rds_delay,), f32),
+                lpf_resamp_tail=self.rds_resampler.init_state(batch_shape),
+                rrc_tail=self.rds_rrc.init_state(batch_shape),
+            )
+        return ReceiverState(front=front, mono=mono, stereo=stereo, rds=rds)
+
+    # ------------------------------------------------------------------- step
+    def step(self, state: ReceiverState, iq_u8: jax.Array
+             ) -> tuple[ReceiverState, dict[str, jax.Array]]:
+        """Process one u8 IQ block (..., block) -> (new_state, outputs).
+
+        Outputs: 'mono' always; 'left'/'right' when stereo; 'rds_soft' (RRC
+        output at SPS*2375) when rds.  Pure function — safe to jit/scan/shard.
+        """
+        cfg = self.cfg
+        i_raw, q_raw = decode_u8_iq(iq_u8)
+
+        # RF front end (reference rf_thread, src/project.cpp:48-69)
+        i_ds, i_tail = self.rf_resampler(i_raw, state.front.i_tail)
+        q_ds, q_tail = self.rf_resampler(q_raw, state.front.q_tail)
+        fm_demod, prev_i, prev_q = fm_discriminator(
+            i_ds, q_ds, state.front.prev_i, state.front.prev_q)
+        front = FrontEndState(i_tail, q_tail, prev_i, prev_q)
+
+        outputs: dict[str, jax.Array] = {}
+
+        # Mono path (reference src/project.cpp:146)
+        mono_audio, audio_tail = self.audio_resampler(fm_demod,
+                                                      state.mono.audio_tail)
+        outputs["mono"] = mono_audio
+
+        stereo_state = state.stereo
+        if self.stereo:
+            st = state.stereo
+            # delayed mono against BPF group delay (src/project.cpp:152-159)
+            mono_shift, mono_delay = delay_line(mono_audio, st.mono_delay)
+            # L-R DSB extraction + pilot carrier recovery (project.cpp:162-166)
+            channel, channel_tail = self.channel_filter(fm_demod, st.channel_tail)
+            pilot, carrier_tail = self.carrier_filter(fm_demod, st.carrier_tail)
+            nco, pll_state = pll(pilot, st.pll, freq=cfg.pilot_freq,
+                                 fs=cfg.if_fs, nco_scale=2.0,
+                                 norm_bandwidth=0.01,
+                                 wrap_phase=self.pll_wrap_phase)
+            mixed = mixer(channel, nco)                    # project.cpp:169
+            if self.compat_shared_audio_state:
+                # reference defect: stereo resample continues the mono tail
+                stereo_audio, audio_tail = self.audio_resampler(mixed, audio_tail)
+                stereo_audio_tail = st.stereo_audio_tail
+            else:
+                stereo_audio, stereo_audio_tail = self.stereo_audio_resampler(
+                    mixed, st.stereo_audio_tail)
+            left, right = lr_matrix(mono_shift, stereo_audio)  # project.cpp:175
+            outputs["left"] = left
+            outputs["right"] = right
+            stereo_state = StereoState(channel_tail, carrier_tail, pll_state,
+                                       mono_delay, stereo_audio_tail)
+
+        mono_state = MonoState(audio_tail=audio_tail)
+
+        rds_state = state.rds
+        if self.rds:
+            rs = state.rds
+            # channel extraction 54-60 kHz (reference src/project.cpp:245)
+            channel, channel_tail = self.rds_channel_filter(fm_demod,
+                                                            rs.channel_tail)
+            # squaring nonlinearity -> 114 kHz line (src/project.cpp:248-252)
+            squared = channel * channel
+            carrier_in, carrier_tail = self.rds_carrier_filter(squared,
+                                                               rs.carrier_tail)
+            nco, pll_state = pll(carrier_in, rs.pll,
+                                 freq=cfg.rds_carrier_freq, fs=cfg.if_fs,
+                                 nco_scale=0.5,
+                                 norm_bandwidth=self.rds_pll_bandwidth,
+                                 wrap_phase=self.pll_wrap_phase)
+            # all-pass delay aligning channel to carrier (src/project.cpp:260-266)
+            chan_delayed, delay = delay_line(channel, rs.delay)
+            baseband = mixer(nco, chan_delayed)            # src/project.cpp:269
+            # ---- beyond the reference code: spec pp.13-14 chain ----
+            resampled, lpf_tail = self.rds_resampler(baseband,
+                                                     rs.lpf_resamp_tail)
+            soft, rrc_tail = self.rds_rrc(resampled, rs.rrc_tail)
+            outputs["rds_soft"] = soft
+            rds_state = RdsState(channel_tail, carrier_tail, pll_state, delay,
+                                 lpf_tail, rrc_tail)
+
+        new_state = ReceiverState(front=front, mono=mono_state,
+                                  stereo=stereo_state, rds=rds_state)
+        return new_state, outputs
+
+    # -------------------------------------------------------------- execution
+    def block_align_u8(self) -> int:
+        """Minimum valid step size in u8 bytes: every decimation must divide
+        cleanly and every filter tail must fit (split-invariance makes any
+        multiple of this equivalent, SURVEY §5.7)."""
+        align = 2 * self.cfg.rf_decim * self.cfg.audio_decim
+        if self.rds:
+            align = int(np.lcm(align, 2 * self.cfg.rf_decim * self.rds_if_align))
+        # largest carried tail: audio resampler needs ceil((taps-1)/U) IF
+        # samples per block
+        min_if = self.audio_resampler.state_len
+        while align // (2 * self.cfg.rf_decim) < min_if:
+            align *= 2
+        return align
+
+    def block_size_u8(self, blocks_per_step: int = 1) -> int:
+        """u8 bytes per step; multiple reference blocks may be fused into one
+        jit step (exactness is split-invariant, SURVEY §5.7)."""
+        base = self.cfg.block_size_u8
+        if self.rds:
+            base = int(np.lcm(base, self.block_align_u8()))
+        return base * blocks_per_step
+
+    @functools.cached_property
+    def _jit_step(self):
+        return jax.jit(self.step)
+
+    def run(self, iq_u8: np.ndarray | jax.Array, *, blocks_per_step: int = 1,
+            state: ReceiverState | None = None,
+            unroll: int = 1):
+        """Scan the receiver over a whole capture.
+
+        iq_u8: (..., n) u8 stream; trailing partial block is dropped
+        (reference model behavior, fmMonoBlock.py:216-217).
+        Returns (outputs, final_state) with outputs concatenated over time.
+        """
+        bs = self.block_size_u8(blocks_per_step)
+        *lead, n = iq_u8.shape
+        if bs > n:
+            # capture shorter than the natural block: fall back to the
+            # largest aligned block that fits (same outputs by
+            # split-invariance)
+            align = self.block_align_u8()
+            bs = (n // align) * align
+            if bs == 0:
+                raise ValueError(
+                    f"capture of {n} bytes shorter than minimum block "
+                    f"{align}")
+        nblocks = n // bs
+        trimmed = jnp.asarray(iq_u8[..., : nblocks * bs]).reshape(
+            *lead, nblocks, bs)
+        trimmed = jnp.moveaxis(trimmed, -2, 0)  # (nblocks, ..., bs)
+        if state is None:
+            state = self.init_state(tuple(lead))
+
+        def scan_fn(st, blk):
+            return self.step(st, blk)
+
+        final_state, outs = jax.lax.scan(scan_fn, state, trimmed, unroll=unroll)
+        # (nblocks, ..., per_block) -> (..., nblocks*per_block)
+        outputs = {k: jnp.moveaxis(v, 0, -2).reshape(*lead, -1)
+                   for k, v in outs.items()}
+        return outputs, final_state

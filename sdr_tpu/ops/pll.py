@@ -1,0 +1,146 @@
+"""Type-2 phase-locked loop + NCO, block-streaming.
+
+Reproduces the reference PLL recurrence (src/filter.cpp:136-174): per sample,
+phase detect atan2(-in*fbQ, in*fbI), PI loop filter with Cp=2.666 / Ci=3.555
+(Kp = bw*Cp, Ki = bw^2*Ci, src/filter.cpp:139-143), NCO output
+cos(trigArg*ncoScale + phaseAdjust).  Streaming state is carried across
+blocks (the reference carries six scalars, src/filter.cpp:137; its
+ncoOut_state write at src/filter.cpp:150 is dead — overwritten at i=0).
+
+TPU-first: the recurrence is strictly sequential, so it runs as one
+`lax.scan` per block; batching across RF channels is done by `vmap`, which
+turns the scalar recurrence into VPU-lane-parallel ops (SURVEY §7 hard-part 1).
+
+Two numerically different but behaviorally equivalent formulations:
+
+ - `wrap_phase=False`: bit-faithful to the reference — carries
+   (integrator, phaseEst, trigOffset) with trigArg = 2*pi*(f/Fs)*trigOffset
+   + phaseEst.  trigOffset grows unboundedly (reference defect,
+   src/filter.cpp:166) — float32 precision collapses on long streams.
+ - `wrap_phase=True` (default): carries the *combined* NCO argument
+   theta = 2*pi*(f/Fs)*trigOffset + phaseEst directly, which updates
+   additively per sample (theta += w0 + Kp*e + integ), wrapped modulo a
+   period W chosen so every downstream use (cos/sin of theta and of
+   theta*ncoScale) is W-periodic.  This is the documented improvement over
+   the reference (SURVEY §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PLL_CP = 2.666
+PLL_CI = 3.555
+
+
+class PLLState(NamedTuple):
+    """Carried PLL state.  In wrap_phase mode `phase_acc` holds the wrapped
+    combined NCO argument theta; otherwise it holds the reference's phaseEst
+    and `trig_offset` the reference's sample counter."""
+    integrator: jax.Array
+    phase_acc: jax.Array
+    feedback_i: jax.Array
+    feedback_q: jax.Array
+    trig_offset: jax.Array
+
+
+def pll_init(batch_shape: tuple[int, ...] = ()) -> PLLState:
+    """Initial state matching reference src/project.cpp:106-111
+    (integrator=0, phaseEst=0, feedbackI=1, feedbackQ=0, trigOffset=0)."""
+    z = jnp.zeros(batch_shape, jnp.float32)
+    o = jnp.ones(batch_shape, jnp.float32)
+    return PLLState(integrator=z, phase_acc=z, feedback_i=o, feedback_q=z,
+                    trig_offset=z)
+
+
+def _wrap_modulus(nco_scale: float) -> float:
+    """Smallest W = 2*pi*k such that W*nco_scale is also a multiple of 2*pi."""
+    frac = Fraction(nco_scale).limit_denominator(64)
+    return 2.0 * np.pi * frac.denominator
+
+
+@partial(jax.jit, static_argnames=("freq", "fs", "nco_scale", "phase_adjust",
+                                   "norm_bandwidth", "wrap_phase",
+                                   "lag_correction"))
+def pll(x: jax.Array, state: PLLState, *, freq: float, fs: float,
+        nco_scale: float = 1.0, phase_adjust: float = 0.0,
+        norm_bandwidth: float = 0.01, wrap_phase: bool = True,
+        lag_correction: bool = True):
+    """Run the PLL over block x (..., N); returns (nco_out, new_state).
+
+    Leading batch dims are vmapped over.
+
+    lag_correction (deviation from reference, on by default): the reference
+    emits ncoOut[i] = cos(trigArg_i * scale) (src/filter.cpp:170) but its
+    loop aligns trigArg_{i-1} with pllin[i] (the error at i uses the
+    feedback of i-1, src/filter.cpp:159-160) — so the reference NCO *leads*
+    the input by one sample (57 deg at 38 kHz / 240 kS/s), costing
+    ~cos(57deg) of coherent stereo gain and capping L/R separation near
+    9 dB.  The corrected output uses trigArg_i - w0, the loop's phase
+    estimate *for sample i*.  Set False for bit-parity with the oracle.
+    """
+    kp = jnp.float32(norm_bandwidth * PLL_CP)
+    ki = jnp.float32(norm_bandwidth * norm_bandwidth * PLL_CI)
+    w0 = jnp.float32(2.0 * np.pi * (freq / fs))
+    wmod = jnp.float32(_wrap_modulus(nco_scale))
+    scale = jnp.float32(nco_scale)
+    adj = jnp.float32(phase_adjust)
+
+    def step(carry, xi):
+        integ, acc, fbi, fbq, trig = carry
+        error_d = jnp.arctan2(xi * (-fbq), xi * fbi)
+        integ = integ + ki * error_d
+        if wrap_phase:
+            acc = jnp.mod(acc + w0 + kp * error_d + integ, wmod)
+            trig_arg = acc
+        else:
+            acc = acc + kp * error_d + integ
+            trig = trig + 1.0
+            trig_arg = w0 * trig + acc
+        fbi = jnp.cos(trig_arg)
+        fbq = jnp.sin(trig_arg)
+        out_arg = trig_arg - w0 if lag_correction else trig_arg
+        nco = jnp.cos(out_arg * scale + adj)
+        return (integ, acc, fbi, fbq, trig), nco
+
+    def scan_1d(x1, st):
+        carry = (st.integrator, st.phase_acc, st.feedback_i, st.feedback_q,
+                 st.trig_offset)
+        carry, nco_out = jax.lax.scan(step, carry, x1)
+        return nco_out, PLLState(*carry)
+
+    fn = scan_1d
+    for _ in range(x.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(x, state)
+
+
+def pll_reference(x, freq, fs, nco_scale, phase_adjust, norm_bandwidth, state):
+    """Scalar NumPy oracle with the reference's exact loop (src/filter.cpp:136-174).
+
+    state: (integrator, phaseEst, feedbackI, feedbackQ, trigOffset)
+    Returns (ncoOut, new_state). float32 arithmetic like the C++.
+    """
+    f32 = np.float32
+    kp = f32(norm_bandwidth) * f32(PLL_CP)
+    ki = f32(norm_bandwidth) * f32(norm_bandwidth) * f32(PLL_CI)
+    integ, phase, fbi, fbq, trig = (f32(v) for v in state)
+    out = np.zeros(len(x), dtype=np.float32)
+    for i in range(len(x)):
+        error_i = f32(x[i]) * fbi
+        error_q = f32(x[i]) * (-fbq)
+        error_d = f32(np.arctan2(error_q, error_i))
+        integ = f32(integ + ki * error_d)
+        phase = f32(phase + kp * error_d + integ)
+        trig = f32(trig + 1)
+        trig_arg = f32(f32(2 * np.pi * (freq / fs)) * trig + phase)
+        fbi = f32(np.cos(trig_arg))
+        fbq = f32(np.sin(trig_arg))
+        out[i] = f32(np.cos(trig_arg * f32(nco_scale) + f32(phase_adjust)))
+    return out, (integ, phase, fbi, fbq, trig)

@@ -1,0 +1,57 @@
+"""Channel data-parallelism: shard independent FM stations over the mesh.
+
+Every op in sdr_tpu is batch-polymorphic over leading dims, so channel DP is
+pure SPMD: place the (channels, ...) batch with a NamedSharding and jit —
+XLA runs each shard's scan locally with zero collectives (the channels are
+independent; BASELINE config 5's '64+ channels over N>=2 hosts').
+
+`shard_receiver_run` is the explicit shard_map variant: it guarantees the
+per-device program contains no cross-device communication, and is the form
+that extends to multi-host meshes where each host feeds its own shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from sdr_tpu.models.receiver import Receiver
+
+
+def sharded_run(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "channels",
+                blocks_per_step: int = 1):
+    """Run the receiver over (channels, n) u8 with channels sharded on mesh.
+
+    Returns outputs with the same sharding (host gets them lazily).
+    """
+    n_ch = iq_u8.shape[0]
+    n_dev = mesh.shape[axis]
+    assert n_ch % n_dev == 0, f"{n_ch} channels not divisible by {n_dev} devices"
+    sharding = NamedSharding(mesh, P(axis))
+    iq = jax.device_put(np.asarray(iq_u8), sharding)
+    state = rx.init_state((n_ch,))
+    state = jax.device_put(state, NamedSharding(mesh, P(axis)))
+
+    bs = rx.block_size_u8(blocks_per_step)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=(P(axis), P(axis)), check_vma=False)
+    def run_shard(iq_local, state_local):
+        nblocks = iq_local.shape[-1] // bs
+        blocks = iq_local[..., : nblocks * bs].reshape(
+            iq_local.shape[0], nblocks, bs)
+        blocks = jax.numpy.moveaxis(blocks, 1, 0)
+
+        def scan_fn(st, blk):
+            return rx.step(st, blk)
+
+        final, outs = jax.lax.scan(scan_fn, state_local, blocks)
+        outs = {k: jax.numpy.moveaxis(v, 0, 1).reshape(v.shape[1], -1)
+                for k, v in outs.items()}
+        return outs, final
+
+    return jax.jit(run_shard)(iq, state)

@@ -1,0 +1,65 @@
+"""Parallelism correctness on the 8-device virtual CPU mesh (SURVEY §4.3):
+channel DP and time-axis halo-exchange sharding must match serial exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from sdr_tpu.config import MODES
+from sdr_tpu.models.receiver import Receiver
+from sdr_tpu.parallel.channels import sharded_run
+from sdr_tpu.parallel.mesh import make_mesh
+from sdr_tpu.parallel.timeshard import timesharded_mono
+from sdr_tpu import tx
+
+
+@pytest.fixture(scope="module")
+def captures():
+    cfg = MODES[0]
+    caps = []
+    for c in range(8):
+        n = int(0.05 * cfg.rf_fs)
+        mono = tx.tone(cfg.rf_fs, 500.0 + 300.0 * c, n)
+        caps.append(tx.synthesize_capture(cfg, seconds=0.05, mono=mono,
+                                          seed=c))
+    return np.stack(caps)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_channel_dp_matches_serial(captures):
+    rx = Receiver(0)
+    mesh = make_mesh(8, "channels")
+    outs, _ = sharded_run(rx, captures, mesh)
+    serial, _ = rx.run(captures)
+    np.testing.assert_allclose(np.asarray(outs["mono"]),
+                               np.asarray(serial["mono"]), atol=1e-6)
+
+
+def test_channel_dp_stereo(captures):
+    rx = Receiver(0, stereo=True)
+    mesh = make_mesh(4, "channels")
+    outs, _ = sharded_run(rx, captures[:4], mesh)
+    serial, _ = rx.run(captures[:4])
+    np.testing.assert_allclose(np.asarray(outs["left"]),
+                               np.asarray(serial["left"]), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", [0, 2])
+def test_timeshard_mono_exact(mode):
+    """Halo-exchange time sharding == sequential scan, including the
+    rational-resampler mode (phase-grid alignment, SURVEY §7 hard-part 2)."""
+    cfg = MODES[mode]
+    rx = Receiver(mode)
+    mesh = make_mesh(8, "time")
+    align = 8 * 2 * cfg.rf_decim * cfg.audio_decim
+    n = ((int(0.2 * cfg.rf_fs) * 2) // align) * align
+    mono = tx.tone(cfg.rf_fs, 900.0, n // 2)
+    cap = tx.synthesize_capture(cfg, seconds=n / 2 / cfg.rf_fs, mono=mono)
+    cap = cap[:n]
+    audio_p = timesharded_mono(rx, cap, mesh)
+    serial, _ = rx.run(cap)
+    np.testing.assert_allclose(np.asarray(audio_p),
+                               np.asarray(serial["mono"]), atol=2e-5)

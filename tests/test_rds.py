@@ -1,0 +1,153 @@
+"""RDS stack tests: block code, framing, baseband codec, full RF loop.
+
+The block-code tests pin the spec Appendix's published syndromes; the full
+loop modulates real RDS groups onto a synthesized FM capture and decodes
+them back through the complete receiver (the capability the reference never
+finished, SURVEY §2.5).
+"""
+
+import numpy as np
+import pytest
+
+from sdr_tpu.config import MODES
+from sdr_tpu.models.receiver import Receiver
+from sdr_tpu import tx
+from sdr_tpu.rds import (biphase_decode, decode_groups, decode_rds_soft,
+                         differential_decode, extract_groups)
+from sdr_tpu.rds import tx as rds_tx
+from sdr_tpu.rds.decode import biphase_encode, differential_encode
+from sdr_tpu.rds.groups import make_group_0a, parse_header
+from sdr_tpu.rds.matrix import (H, OFFSET_WORDS, SYNDROMES, encode_block,
+                                int_to_bits, syndrome)
+
+
+# ------------------------------------------------------------------ block code
+@pytest.mark.parametrize("name", list(OFFSET_WORDS))
+def test_offset_syndromes_match_spec(name):
+    """A zero-info block with offset word O yields the spec's syndrome."""
+    block = np.concatenate([np.zeros(16, np.uint8),
+                            int_to_bits(OFFSET_WORDS[name], 10)])
+    assert syndrome(block) == SYNDROMES[name]
+
+
+@pytest.mark.parametrize("name", list(OFFSET_WORDS))
+@pytest.mark.parametrize("info", [0x0000, 0xFFFF, 0x3D44, 0x5A5A])
+def test_encoded_block_syndrome(info, name):
+    assert syndrome(encode_block(info, name)) == SYNDROMES[name]
+
+
+def test_single_bit_error_changes_syndrome():
+    block = encode_block(0x1234, "A")
+    for i in range(26):
+        bad = block.copy()
+        bad[i] ^= 1
+        assert syndrome(bad) != SYNDROMES["A"]
+
+
+def test_h_matrix_shape():
+    assert H.shape == (26, 10)
+    assert set(np.unique(H)) <= {0, 1}
+
+
+# ------------------------------------------------------------------- bit codec
+def test_differential_roundtrip(rng):
+    bits = rng.integers(0, 2, 200).astype(np.uint8)
+    assert np.array_equal(differential_decode(differential_encode(bits)), bits)
+
+
+def test_biphase_roundtrip(rng):
+    bits = rng.integers(0, 2, 100).astype(np.uint8)
+    sym = biphase_encode(bits)
+    dec, parity = biphase_decode(sym)
+    assert parity == 0
+    assert np.array_equal(dec, bits)
+
+
+def test_biphase_odd_parity_detection(rng):
+    bits = rng.integers(0, 2, 100).astype(np.uint8)
+    sym = np.concatenate([[0.01], biphase_encode(bits)])  # shift by one symbol
+    dec, parity = biphase_decode(sym)
+    assert parity == 1
+    assert np.array_equal(dec, bits)
+
+
+def test_polarity_invariance(rng):
+    """Differential decode is invariant to a global carrier polarity flip."""
+    bits = rng.integers(0, 2, 120).astype(np.uint8)
+    sym = biphase_encode(differential_encode(bits))
+    b_pos, _ = biphase_decode(sym)
+    b_neg, _ = biphase_decode(-sym)
+    assert np.array_equal(differential_decode(b_pos)[1:],
+                          differential_decode(b_neg)[1:])
+
+
+# -------------------------------------------------------------------- framing
+def test_framing_clean_stream():
+    stream = rds_tx.standard_group_stream(pi=0x3D44, n_groups=6)
+    # prepend junk so sync must search
+    bits = np.concatenate([np.random.default_rng(0).integers(0, 2, 37),
+                           stream]).astype(np.uint8)
+    groups, pol = extract_groups(bits)
+    assert pol == 0
+    assert len(groups) == 6
+    info = decode_groups(groups)
+    assert info.pi == 0x3D44
+    assert info.ps_name[:4] == "SDR-"
+
+
+def test_framing_inverted_stream():
+    stream = rds_tx.standard_group_stream(n_groups=4)
+    groups, pol = extract_groups(stream.astype(np.uint8) ^ 1)
+    assert pol == 1 and len(groups) == 4
+
+
+def test_group_header_roundtrip():
+    g = make_group_0a(pi=0xBEEF, pty=7, ps_name="ABCDEFGH", segment=2,
+                      tp=True, ta=True)
+    b1 = int("".join(map(str, g[:16])), 2)
+    b2 = int("".join(map(str, g[26:42])), 2)
+    hdr = parse_header(b1, b2)
+    assert hdr.pi == 0xBEEF and hdr.pty == 7 and hdr.tp
+    assert hdr.group_type == 0 and not hdr.version_b
+    assert hdr.payload5 & 3 == 2
+
+
+# ------------------------------------------------------------- baseband codec
+def test_baseband_waveform_roundtrip():
+    """bits -> RRC biphase baseband -> matched filter -> CDR -> bits."""
+    from sdr_tpu.ops.firdes import root_raised_cosine
+    from sdr_tpu.rds.timing import recover_symbols
+
+    bits = rds_tx.standard_group_stream(n_groups=3)
+    sps = 16
+    fs = 2375.0 * sps
+    bb = rds_tx.bits_to_baseband(bits, fs, sps_shape=sps)
+    rrc = root_raised_cosine(fs, 151, 2375.0)
+    matched = np.convolve(bb, rrc.astype(np.float64), mode="same")
+    n = (len(matched) // sps) * sps
+    symbols, phase = recover_symbols(matched[:n], sps)
+    dec_diff, _ = biphase_decode(np.asarray(symbols))
+    dec = differential_decode(dec_diff)
+    groups, _ = extract_groups(dec)
+    assert len(groups) >= 2
+    assert decode_groups(groups).pi == 0x3D44
+
+
+# ------------------------------------------------------------------ full loop
+@pytest.mark.slow
+def test_full_rf_rds_loop():
+    """Groups -> 57 kHz subcarrier -> FM -> u8 IQ -> full receiver -> groups."""
+    cfg = MODES[0]
+    seconds = 1.2
+    bits = rds_tx.standard_group_stream(pi=0x3D44, ps_name="TPU FM  ",
+                                        n_groups=int(seconds * 1187.5 / 104) + 2)
+    rds_bb = rds_tx.bits_to_baseband(bits, cfg.rf_fs)
+    n = int(seconds * cfg.rf_fs)
+    mono = tx.tone(cfg.rf_fs, 1000.0, n)
+    cap = tx.synthesize_capture(cfg, seconds=seconds, mono=mono,
+                                rds_baseband=rds_bb[:n], a_rds=0.1)
+    rx = Receiver(0, rds=True)
+    out, _ = rx.run(cap, blocks_per_step=4)
+    info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
+    assert info.groups_seen >= 3, f"only {info.groups_seen} groups decoded"
+    assert info.pi == 0x3D44

@@ -1,0 +1,98 @@
+"""Polyphase resampler exactness vs the reference scalar oracle and scipy.
+
+The resampler is the single convolution engine of the receiver (reference
+src/filter.cpp:67-103); SURVEY §7 hard-part 2 flags its phase walk as the
+top silent-SNR-killer, so it is tested for *exact* index semantics across
+every mode's (U, D) pair, including state carry across blocks.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from sdr_tpu.config import MODES
+from sdr_tpu.ops import firdes
+from sdr_tpu.ops.resample import PolyphaseResampler, resample_reference
+
+CASES = [
+    # (taps, U, D, blocks of length N)
+    (51, 1, 1, 256),     # plain FIR (BPF stages)
+    (51, 1, 10, 400),    # RF decimation mode 0/2
+    (51, 1, 4, 400),     # RF decimation mode 1
+    (51, 1, 9, 405),     # RF decimation mode 3
+    (51, 1, 5, 400),     # audio decimation mode 0
+    (51 * 147, 147, 800, 1600),   # mode 2 audio rational resampler
+    (51 * 19, 19, 120, 1920),     # mode 0 RDS resampler
+    (51 * 7, 7, 3, 120),          # upsample-dominant case
+]
+
+
+@pytest.mark.parametrize("taps,up,down,n", CASES)
+def test_matches_reference_oracle(taps, up, down, n, rng):
+    coeff = rng.standard_normal(taps).astype(np.float32)
+    rs = PolyphaseResampler(coeff, up, down)
+    tail = rs.init_state()
+    # reference carries taps-1 samples; ours the reachable suffix
+    ref_state = np.zeros(taps - 1, np.float32)
+    for _ in range(3):  # multiple blocks exercise the state carry
+        x = rng.standard_normal(n).astype(np.float32)
+        y, tail = rs(x, tail)
+        y_ref, ref_state = resample_reference(x, ref_state, coeff, up, down)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(tail),
+                                      ref_state[len(ref_state) - rs.state_len:]
+                                      .astype(np.float32))
+
+
+def test_matches_scipy_lfilter_decimation(rng):
+    """U=1 path == scipy lfilter + [::D] downsample, the golden-model
+    formulation (model/fmMonoBlock.py:224-233)."""
+    coeff = firdes.lowpass(2.4e6, 100e3, 51, 1)
+    rs = PolyphaseResampler(coeff, 1, 10)
+    tail = rs.init_state()
+    zi = np.zeros(50)
+    for _ in range(4):
+        x = rng.standard_normal(1000).astype(np.float32)
+        y, tail = rs(x, tail)
+        y_ref, zi = sps.lfilter(coeff.astype(np.float64), 1.0, x, zi=zi)
+        np.testing.assert_allclose(np.asarray(y), y_ref[::10], rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_block_split_invariance(rng):
+    """Processing one big block == two half blocks (state-carry fidelity,
+    SURVEY §7 hard-part 3)."""
+    coeff = firdes.lowpass(240e3 * 147, 16e3, 51 * 147, 147)
+    rs = PolyphaseResampler(coeff, 147, 800)
+    x = rng.standard_normal(3200).astype(np.float32)
+    y_full, _ = rs(x, rs.init_state())
+    y1, t = rs(x[:1600], rs.init_state())
+    y2, _ = rs(x[1600:], t)
+    np.testing.assert_allclose(np.asarray(y_full),
+                               np.concatenate([np.asarray(y1), np.asarray(y2)]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batched_channels(rng):
+    """Leading batch dims give identical per-channel results."""
+    coeff = firdes.lowpass(2.4e6, 100e3, 51, 1)
+    rs = PolyphaseResampler(coeff, 1, 10)
+    x = rng.standard_normal((4, 1000)).astype(np.float32)
+    yb, tb = rs(x, rs.init_state((4,)))
+    for c in range(4):
+        y1, t1 = rs(x[c], rs.init_state())
+        np.testing.assert_allclose(np.asarray(yb[c]), np.asarray(y1),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(tb[c]), np.asarray(t1))
+
+
+@pytest.mark.parametrize("mode", sorted(MODES))
+def test_mode_resampler_geometry(mode):
+    """Every mode's audio resampler produces the exact audio rate."""
+    cfg = MODES[mode]
+    coeff = firdes.lowpass(cfg.if_fs * cfg.audio_interp, cfg.audio_fc,
+                           cfg.audio_taps, cfg.audio_gain)
+    rs = PolyphaseResampler(coeff, cfg.audio_interp, cfg.audio_decim)
+    n_if = cfg.if_per_block
+    y, _ = rs(np.zeros(n_if, np.float32), rs.init_state())
+    assert y.shape[-1] == cfg.audio_per_block
