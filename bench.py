@@ -55,9 +55,11 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
-    # headline: mono chain, 32 channels, ~0.55 s RF per step
+    # headline: mono chain, 32 channels, 25 reference blocks (~0.13 s RF)
+    # per jit step — measured sweet spot on TPU v5e (larger fused blocks
+    # blow up tunnel-side compile time for no throughput gain)
     rx_mono = Receiver(0)
-    n_ch, bps, steps = 32, 100, 8
+    n_ch, bps, steps = 32, 25, 20
     msps = _bench_chain(rx_mono, n_ch, bps, steps)
     print(f"mono  {n_ch}ch compute: {msps:9.1f} IQ MS/s/chip", file=sys.stderr)
 
@@ -67,12 +69,9 @@ def main() -> int:
           file=sys.stderr)
 
     rx_st = Receiver(0, stereo=True)
-    msps_st = _bench_chain(rx_st, n_ch, 25, 4)
+    msps_st = _bench_chain(rx_st, n_ch, bps, 4)
     print(f"stereo {n_ch}ch compute: {msps_st:8.1f} IQ MS/s/chip",
           file=sys.stderr)
-
-    msps_1 = _bench_chain(rx_mono, 1, 400, 4)
-    print(f"mono   1ch compute: {msps_1:9.1f} IQ MS/s/chip", file=sys.stderr)
 
     print(json.dumps({
         "metric": "mono_fm_iq_throughput",

@@ -37,13 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", dest="outfile", default="-",
                    help="output S16LE stream ('-' = stdout)")
     p.add_argument("--wav", default=None, help="also write a WAV file")
-    p.add_argument("--blocks-per-step", type=int, default=4,
+    p.add_argument("--blocks-per-step", type=int, default=25,
                    help="reference blocks fused per jit step")
     p.add_argument("--psd-dump", default=None,
                    help="write a Bartlett PSD .dat of the demodulated IF "
-                        "for gnuplot inspection")
+                        "for gnuplot inspection (basename, .dat appended)")
     p.add_argument("--stats", action="store_true",
                    help="print throughput stats to stderr")
+    p.add_argument("--save-state", default=None,
+                   help="checkpoint the streaming state pytree on exit")
+    p.add_argument("--resume", default=None,
+                   help="resume the streaming state from a checkpoint")
     return p
 
 
@@ -66,8 +70,13 @@ def main(argv: list[str] | None = None) -> int:
           f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
           file=sys.stderr)
 
-    rx = Receiver(args.mode, stereo=stereo, rds=rds)
+    rx = Receiver(args.mode, stereo=stereo, rds=rds,
+                  emit_if=args.psd_dump is not None)
     state = rx.init_state()
+    if args.resume:
+        from sdr_tpu.utils.checkpoint import load_state
+        state = load_state(args.resume, state)
+        print(f"Resumed state from {args.resume}", file=sys.stderr)
     step = jax.jit(rx.step)
     block_size = rx.block_size_u8(args.blocks_per_step)
 
@@ -76,18 +85,19 @@ def main(argv: list[str] | None = None) -> int:
 
     wav_chunks: list[np.ndarray] = []
     rds_soft: list[np.ndarray] = []
+    if_chunks: list[np.ndarray] = []
     n_in = 0
     t0 = time.perf_counter()
     pending = None  # double buffering: overlap host read with device compute
 
-    for raw in read_u8_blocks(fin, block_size):
+    for raw in _block_source(fin, block_size):
         if pending is not None:
-            _drain(pending, stereo, fout, wav_chunks, rds_soft)
+            _drain(pending, stereo, fout, wav_chunks, rds_soft, if_chunks)
         state, out = step(state, jax.numpy.asarray(raw))
         pending = out
         n_in += len(raw)
     if pending is not None:
-        _drain(pending, stereo, fout, wav_chunks, rds_soft)
+        _drain(pending, stereo, fout, wav_chunks, rds_soft, if_chunks)
 
     elapsed = time.perf_counter() - t0
     if args.stats:
@@ -107,6 +117,20 @@ def main(argv: list[str] | None = None) -> int:
         wavio.write_wav(args.wav, cfg.audio_fs, frames)
         print(f"Wrote {args.wav}", file=sys.stderr)
 
+    if args.psd_dump and if_chunks:
+        from sdr_tpu.ops.fourier import estimate_psd
+        from sdr_tpu.io.logger import log_vector
+        demod = np.concatenate(if_chunks)
+        freq, psd = estimate_psd(jax.numpy.asarray(demod), fs=float(cfg.if_fs))
+        log_vector(args.psd_dump, freq / 1e3, np.asarray(psd))
+        print(f"Wrote {args.psd_dump}.dat (Bartlett PSD of demodulated IF)",
+              file=sys.stderr)
+
+    if args.save_state:
+        from sdr_tpu.utils.checkpoint import save_state
+        save_state(args.save_state, state)
+        print(f"Saved state to {args.save_state}", file=sys.stderr)
+
     if rds and rds_soft:
         from sdr_tpu.rds import decode_rds_soft
         info = decode_rds_soft(np.concatenate(rds_soft), cfg.rds_sps)
@@ -117,7 +141,20 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _drain(out, stereo, fout, wav_chunks, rds_soft):
+def _block_source(fin, block_size):
+    """Prefer the native bounded-ring reader thread (backpressure + I/O
+    overlap, sdr_tpu/native); fall back to synchronous reads."""
+    from sdr_tpu.io.stream import read_u8_blocks
+    try:
+        from sdr_tpu import native
+        if native.available() and hasattr(fin, "fileno"):
+            return native.BlockReader(fin.fileno(), block_size)
+    except Exception:
+        pass
+    return read_u8_blocks(fin, block_size)
+
+
+def _drain(out, stereo, fout, wav_chunks, rds_soft, if_chunks):
     from sdr_tpu.io.stream import interleave_stereo_s16, pack_s16
     if stereo:
         pcm = np.asarray(interleave_stereo_s16(out["left"], out["right"]))
@@ -127,6 +164,8 @@ def _drain(out, stereo, fout, wav_chunks, rds_soft):
     wav_chunks.append(pcm)
     if "rds_soft" in out:
         rds_soft.append(np.asarray(out["rds_soft"]))
+    if "fm_demod" in out:
+        if_chunks.append(np.asarray(out["fm_demod"]))
 
 
 if __name__ == "__main__":

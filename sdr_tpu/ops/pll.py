@@ -67,11 +67,11 @@ def _wrap_modulus(nco_scale: float) -> float:
 
 @partial(jax.jit, static_argnames=("freq", "fs", "nco_scale", "phase_adjust",
                                    "norm_bandwidth", "wrap_phase",
-                                   "lag_correction"))
+                                   "lag_correction", "unroll"))
 def pll(x: jax.Array, state: PLLState, *, freq: float, fs: float,
         nco_scale: float = 1.0, phase_adjust: float = 0.0,
         norm_bandwidth: float = 0.01, wrap_phase: bool = True,
-        lag_correction: bool = True):
+        lag_correction: bool = True, unroll: int = 8):
     """Run the PLL over block x (..., N); returns (nco_out, new_state).
 
     Leading batch dims are vmapped over.
@@ -112,7 +112,7 @@ def pll(x: jax.Array, state: PLLState, *, freq: float, fs: float,
     def scan_1d(x1, st):
         carry = (st.integrator, st.phase_acc, st.feedback_i, st.feedback_q,
                  st.trig_offset)
-        carry, nco_out = jax.lax.scan(step, carry, x1)
+        carry, nco_out = jax.lax.scan(step, carry, x1, unroll=unroll)
         return nco_out, PLLState(*carry)
 
     fn = scan_1d

@@ -1,0 +1,129 @@
+"""Tests for auxiliary subsystems: FFT overlap-save engine, checkpoint /
+resume, PSD estimator, signal logger, and the CLI surface in-process."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sdr_tpu.config import MODES
+from sdr_tpu.models.receiver import Receiver
+from sdr_tpu.ops import firdes
+from sdr_tpu.ops.fft_conv import OverlapSaveFIR
+from sdr_tpu.ops.fourier import dft, estimate_psd, fft, idft
+from sdr_tpu.ops.resample import PolyphaseResampler
+from sdr_tpu.utils.checkpoint import load_state, save_state
+from sdr_tpu import tx
+
+
+# ------------------------------------------------------------ fft overlap-save
+@pytest.mark.parametrize("down", [1, 5, 10])
+def test_overlap_save_matches_direct(down, rng):
+    coeff = firdes.lowpass(2.4e6, 100e3, 51, 1)
+    direct = PolyphaseResampler(coeff, 1, down)
+    ols = OverlapSaveFIR(coeff, down)
+    td, to = direct.init_state(), ols.init_state()
+    for _ in range(3):
+        x = rng.standard_normal(1000).astype(np.float32)
+        yd, td = direct(x, td)
+        yo, to = ols(x, to)
+        np.testing.assert_allclose(np.asarray(yo), np.asarray(yd),
+                                   rtol=2e-4, atol=2e-5)
+
+
+# ----------------------------------------------------------------- transforms
+def test_dft_idft_roundtrip(rng):
+    x = rng.standard_normal(64).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(idft(dft(x))).real, x,
+                               atol=1e-4)
+
+
+def test_dft_matches_fft(rng):
+    x = rng.standard_normal(128).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(dft(x)), np.asarray(fft(x)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_psd_peak_at_tone():
+    fs = 48000.0
+    t = np.arange(8192) / fs
+    x = np.sin(2 * np.pi * 6000.0 * t).astype(np.float32)
+    freq, psd = estimate_psd(jnp.asarray(x), nfft=512, fs=fs)
+    peak_freq = freq[int(np.argmax(np.asarray(psd)))]
+    assert abs(peak_freq - 6000.0) < fs / 512
+
+
+# ----------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = MODES[0]
+    rx = Receiver(0, stereo=True)
+    n = int(0.05 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.05,
+                                mono=tx.tone(cfg.rf_fs, 700.0, n))
+    half = len(cap) // 2 // rx.block_size_u8() * rx.block_size_u8()
+
+    # run first half, checkpoint, resume, run second half
+    out1, st = rx.run(cap[:half])
+    path = str(tmp_path / "state.npz")
+    save_state(path, st)
+    st2 = load_state(path, rx.init_state())
+    out2, _ = rx.run(cap[half: 2 * half], state=st2)
+
+    # equals the uninterrupted run
+    full, _ = rx.run(cap[: 2 * half])
+    joined = np.concatenate([np.asarray(out1["mono"]), np.asarray(out2["mono"])])
+    np.testing.assert_allclose(joined, np.asarray(full["mono"]), atol=1e-6)
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    rx = Receiver(0)
+    path = str(tmp_path / "state.npz")
+    save_state(path, rx.init_state())
+    with pytest.raises(ValueError):
+        load_state(path, rx.init_state((4,)))
+
+
+# ------------------------------------------------------------------ logger
+def test_log_vector(tmp_path):
+    from sdr_tpu.io.logger import gen_index_vector, log_vector
+    y = np.array([1.0, 2.5, -3.0])
+    base = str(tmp_path / "trace")
+    log_vector(base, gen_index_vector(3), y)
+    lines = open(base + ".dat").read().strip().splitlines()
+    assert lines[0].startswith("#")
+    assert len(lines) == 4
+    assert "2.50000" in lines[2]
+
+
+# ------------------------------------------------------------------ CLI
+def test_cli_mono_end_to_end(tmp_path):
+    from sdr_tpu.cli import main
+
+    cfg = MODES[0]
+    n = int(0.1 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.1,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    inp = str(tmp_path / "cap.raw")
+    outp = str(tmp_path / "audio.raw")
+    wavp = str(tmp_path / "audio.wav")
+    psdp = str(tmp_path / "psd")
+    ckpt = str(tmp_path / "state.npz")
+    cap.tofile(inp)
+    rc = main(["0", "1", "--in", inp, "--out", outp, "--wav", wavp,
+               "--psd-dump", psdp, "--save-state", ckpt, "--stats"])
+    assert rc == 0
+    audio = np.fromfile(outp, dtype="<i2")
+    assert len(audio) > 1000 and np.abs(audio).max() > 1000
+    assert os.path.exists(wavp)
+    assert os.path.exists(psdp + ".dat")
+    assert os.path.exists(ckpt)
+    # resume from the checkpoint works
+    rc = main(["0", "1", "--in", inp, "--out", outp, "--resume", ckpt])
+    assert rc == 0
+
+
+def test_cli_invalid_mode():
+    from sdr_tpu.cli import main
+    assert main(["9", "1"]) == 1
