@@ -1,4 +1,4 @@
-"""Throughput benchmark: mono FM chain IQ Msamples/s per chip.
+"""Throughput benchmark: FM receiver chain IQ Msamples/s per chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -7,9 +7,14 @@ real-time ingest of 2.4 MS/s IQ on a Raspberry Pi 4 (BASELINE.md) — so
 vs_baseline = (IQ MS/s per chip) / 2.4, i.e. how many simultaneous
 real-time mode-0 stations one chip sustains.
 
-Method: batch of independent channels, jitted step with donated state,
-device-resident input (compute throughput; H2D-inclusive number goes to
-stderr).  Secondary metrics (stereo chain, single-channel) print to stderr.
+Methodology: the steady-state production shape — `lax.scan` over S blocks
+in ONE device program (exactly what Receiver.run does), synchronized by a
+scalar reduction fetched to host (this tunnel-attached backend's
+block_until_ready does not actually wait, and per-dispatch sync costs
+~27 ms of tunnel latency — scanning amortizes it to noise).  Input lives
+on device: this measures the compute path, the honest per-chip capability;
+host->device feeding on this relay-tunneled dev box runs ~18 MB/s and is
+reported separately to stderr.
 """
 
 from __future__ import annotations
@@ -21,31 +26,43 @@ import time
 import numpy as np
 
 
-def _bench_chain(rx, n_ch: int, blocks_per_step: int, n_steps: int,
-                 *, include_transfer: bool = False) -> float:
-    """Return aggregate IQ Msamples/s."""
+def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3) -> float:
+    """Sustained aggregate IQ Msamples/s over a scanned multi-block program."""
     import jax
+    import jax.numpy as jnp
 
-    bs = rx.block_size_u8(blocks_per_step)
+    bs = rx.block_size_u8(bps)
     rng = np.random.default_rng(0)
-    host_block = rng.integers(0, 256, size=(n_ch, bs), dtype=np.uint8)
-    state = rx.init_state((n_ch,))
-    step = jax.jit(rx.step, donate_argnums=0)
+    blocks = jax.device_put(rng.integers(
+        0, 256, size=(n_steps, n_ch, bs), dtype=np.uint8))
+    state0 = rx.init_state((n_ch,))
 
-    dev_block = jax.device_put(host_block)
-    # warmup / compile
-    state, out = step(state, dev_block)
-    jax.block_until_ready((state, out))
+    @jax.jit
+    def run_all(state, blocks):
+        def body(st, blk):
+            st2, out = rx.step(st, blk)
+            return st2, sum(jnp.sum(v) for v in out.values())
+        st, sums = jax.lax.scan(body, state, blocks)
+        return jnp.sum(sums)
 
+    total = float(run_all(state0, blocks))  # warm/compile + sync
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        if include_transfer:
-            dev_block = jax.device_put(host_block)
-        state, out = step(state, dev_block)
-    jax.block_until_ready((state, out))
-    dt = time.perf_counter() - t0
-    iq_pairs = n_ch * (bs // 2) * n_steps
-    return iq_pairs / dt / 1e6
+    for _ in range(reps):
+        total = float(run_all(state0, blocks))
+    dt = (time.perf_counter() - t0) / reps
+    assert np.isfinite(total)
+    return n_ch * (bs // 2) * n_steps / dt / 1e6
+
+
+def _bench_h2d(n_bytes: int = 8 << 20, reps: int = 3) -> float:
+    import jax
+    buf = np.random.default_rng(0).integers(0, 256, size=n_bytes,
+                                            dtype=np.uint8)
+    jax.device_put(buf).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.device_put(buf).block_until_ready()
+    return n_bytes / ((time.perf_counter() - t0) / reps) / 1e6
 
 
 def main() -> int:
@@ -55,23 +72,22 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
-    # headline: mono chain, 32 channels, 25 reference blocks (~0.13 s RF)
-    # per jit step — measured sweet spot on TPU v5e (larger fused blocks
-    # blow up tunnel-side compile time for no throughput gain)
-    rx_mono = Receiver(0)
-    n_ch, bps, steps = 32, 25, 20
-    msps = _bench_chain(rx_mono, n_ch, bps, steps)
-    print(f"mono  {n_ch}ch compute: {msps:9.1f} IQ MS/s/chip", file=sys.stderr)
+    # headline: mono chain, 128 simultaneous stations (measured utilization
+    # sweet spot on v5e: 128ch/50-block steps; 256ch regresses on memory)
+    msps = _bench_scan(Receiver(0), 128, 50, 10)
+    print(f"mono  128ch sustained: {msps:9.1f} IQ MS/s/chip", file=sys.stderr)
 
-    msps_xfer = _bench_chain(rx_mono, n_ch, bps, max(steps // 2, 2),
-                             include_transfer=True)
-    print(f"mono  {n_ch}ch w/ H2D:  {msps_xfer:9.1f} IQ MS/s/chip",
+    msps_st = _bench_scan(Receiver(0, stereo=True), 128, 25, 8)
+    print(f"stereo 128ch (scan PLL): {msps_st:8.1f} IQ MS/s/chip",
           file=sys.stderr)
 
-    rx_st = Receiver(0, stereo=True)
-    msps_st = _bench_chain(rx_st, n_ch, bps, 4)
-    print(f"stereo {n_ch}ch compute: {msps_st:8.1f} IQ MS/s/chip",
+    msps_stc = _bench_scan(Receiver(0, stereo=True, pll_impl="chunked"),
+                           128, 25, 8)
+    print(f"stereo 128ch (chunked PLL): {msps_stc:5.1f} IQ MS/s/chip",
           file=sys.stderr)
+
+    h2d = _bench_h2d()
+    print(f"H2D bandwidth (dev-box tunnel): {h2d:.1f} MB/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "mono_fm_iq_throughput",

@@ -76,14 +76,14 @@ class Receiver:
         self.rds_pll_bandwidth = rds_pll_bandwidth
         self.emit_if = emit_if
         if pll_impl == "auto":
-            # measured on TPU v5e: the XLA scan compiles to a tight on-device
-            # loop at ~360M sequential samples/s for a 32-channel batch —
-            # already far past real time, so scan is the default everywhere.
-            # The Pallas kernel (ops/pallas/pll_kernel.py) is kept as an
-            # alternative engine (uses a polynomial atan2: Mosaic has no
-            # native atan2 lowering).
+            # 'scan' is the bit-level-faithful engine and the default.
+            # 'chunked' (ops/pll.py pll_chunked) vectorizes the phase
+            # detector over 16-sample chunks (~1.5deg extra phase ripple,
+            # behaviorally validated) and 'pallas' runs the exact recurrence
+            # in a fused VMEM kernel (~1.7x over scan on v5e) — select
+            # explicitly for PLL-bound stereo/RDS workloads.
             pll_impl = "scan"
-        assert pll_impl in ("scan", "pallas")
+        assert pll_impl in ("scan", "pallas", "chunked")
         self.pll_impl = pll_impl
 
         if_fs = cfg.if_fs
@@ -157,10 +157,17 @@ class Receiver:
 
     def _pll(self, x, st, **kw):
         """Dispatch to the selected PLL engine."""
+        with jax.named_scope(f"pll_{self.pll_impl}"):
+            return self._pll_inner(x, st, **kw)
+
+    def _pll_inner(self, x, st, **kw):
         if self.pll_impl == "pallas":
             from sdr_tpu.ops.pallas.pll_kernel import pll_pallas
             return pll_pallas(x, st, interpret=jax.default_backend() != "tpu",
                               **kw)
+        if self.pll_impl == "chunked":
+            from sdr_tpu.ops.pll import pll_chunked
+            return pll_chunked(x, st, **kw)
         return pll(x, st, wrap_phase=self.pll_wrap_phase, **kw)
 
     # ------------------------------------------------------------------- step
@@ -172,14 +179,17 @@ class Receiver:
         output at SPS*2375) when rds.  Pure function — safe to jit/scan/shard.
         """
         cfg = self.cfg
-        i_raw, q_raw = decode_u8_iq(iq_u8)
-
-        # RF front end (reference rf_thread, src/project.cpp:48-69)
-        i_ds, i_tail = self.rf_resampler(i_raw, state.front.i_tail)
-        q_ds, q_tail = self.rf_resampler(q_raw, state.front.q_tail)
-        fm_demod, prev_i, prev_q = fm_discriminator(
-            i_ds, q_ds, state.front.prev_i, state.front.prev_q)
-        front = FrontEndState(i_tail, q_tail, prev_i, prev_q)
+        # named scopes surface per-stage costs in jax.profiler traces — the
+        # TPU equivalent of the reference's per-building-block timing
+        # requirement (SURVEY §5.1)
+        with jax.named_scope("rf_frontend"):
+            i_raw, q_raw = decode_u8_iq(iq_u8)
+            # RF front end (reference rf_thread, src/project.cpp:48-69)
+            i_ds, i_tail = self.rf_resampler(i_raw, state.front.i_tail)
+            q_ds, q_tail = self.rf_resampler(q_raw, state.front.q_tail)
+            fm_demod, prev_i, prev_q = fm_discriminator(
+                i_ds, q_ds, state.front.prev_i, state.front.prev_q)
+            front = FrontEndState(i_tail, q_tail, prev_i, prev_q)
 
         outputs: dict[str, jax.Array] = {}
         if self.emit_if:
@@ -188,8 +198,9 @@ class Receiver:
             outputs["fm_demod"] = fm_demod
 
         # Mono path (reference src/project.cpp:146)
-        mono_audio, audio_tail = self.audio_resampler(fm_demod,
-                                                      state.mono.audio_tail)
+        with jax.named_scope("mono_path"):
+            mono_audio, audio_tail = self.audio_resampler(fm_demod,
+                                                          state.mono.audio_tail)
         outputs["mono"] = mono_audio
 
         stereo_state = state.stereo

@@ -144,3 +144,68 @@ def pll_reference(x, freq, fs, nco_scale, phase_adjust, norm_bandwidth, state):
         fbq = f32(np.sin(trig_arg))
         out[i] = f32(np.cos(trig_arg * f32(nco_scale) + f32(phase_adjust)))
     return out, (integ, phase, fbi, fbq, trig)
+
+
+@partial(jax.jit, static_argnames=("freq", "fs", "nco_scale", "phase_adjust",
+                                   "norm_bandwidth", "lag_correction",
+                                   "chunk"))
+def pll_chunked(x: jax.Array, state: PLLState, *, freq: float, fs: float,
+                nco_scale: float = 1.0, phase_adjust: float = 0.0,
+                norm_bandwidth: float = 0.01, lag_correction: bool = True,
+                chunk: int = 16):
+    """Chunk-vectorized PLL: the TPU-native redesign of the sequential loop.
+
+    The reference loop updates phase every sample at Fs (240 kS/s) although
+    the loop bandwidth is only bw*Fs (2.4 kHz at bw=0.01) — the feedback
+    phase moves negligibly across a few samples.  This engine freezes the
+    *predicted* NCO phase over a K-sample chunk (open-loop extrapolation at
+    the current frequency estimate), computes all K phase-detector errors in
+    one vector op, then applies the K sequential PI updates *exactly* (they
+    are linear in the errors: prefix sums give every intermediate integrator
+    and phase value).  The only approximation is the frozen feedback inside
+    a chunk — an O((K*bw)^2) phase error, inaudible for K*bw << 1.
+
+    K=16 cuts scan length 16x; each step does (..., K) vector math on the
+    VPU.  Validated behaviorally (lock, stereo separation, RDS decode) in
+    the test suite; use `pll` for bit-level work.
+    """
+    kp = jnp.float32(norm_bandwidth * PLL_CP)
+    ki = jnp.float32(norm_bandwidth * norm_bandwidth * PLL_CI)
+    w0 = jnp.float32(2.0 * np.pi * (freq / fs))
+    wmod = jnp.float32(_wrap_modulus(nco_scale))
+    scale = jnp.float32(nco_scale)
+    adj = jnp.float32(phase_adjust)
+    n = x.shape[-1]
+    assert n % chunk == 0, f"block length {n} % chunk {chunk} != 0"
+    j = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+
+    def chunk_step(carry, xc):
+        integ0, acc0 = carry
+        # open-loop phase prediction for the whole chunk at the current
+        # frequency estimate (w0 + integrator); e_i is measured against the
+        # *previous* sample's phase acc_{i-1} (reference src/filter.cpp:159)
+        pred = acc0 + (j - 1.0) * (w0 + integ0)
+        e = jnp.arctan2(xc * (-jnp.sin(pred)), xc * jnp.cos(pred))
+        ce = jnp.cumsum(e)
+        # exact K-step PI recurrences given the errors:
+        # integ_i = integ0 + ki*ce_i
+        # acc_i   = acc0 + i*w0 + kp*ce_i + sum_{m<=i} integ_m
+        integ_i = integ0 + ki * ce
+        acc_i = acc0 + j * w0 + kp * ce + jnp.cumsum(integ_i)
+        out_arg = acc_i - w0 if lag_correction else acc_i
+        nco = jnp.cos(out_arg * scale + adj)
+        return (integ_i[-1], jnp.mod(acc_i[-1], wmod)), nco
+
+    def scan_1d(x1, st):
+        xc = x1.reshape(n // chunk, chunk)
+        carry = (st.integrator, st.phase_acc)
+        (integ, acc), nco = jax.lax.scan(chunk_step, carry, xc)
+        new = PLLState(integrator=integ, phase_acc=acc,
+                       feedback_i=jnp.cos(acc), feedback_q=jnp.sin(acc),
+                       trig_offset=st.trig_offset)
+        return nco.reshape(n), new
+
+    fn = scan_1d
+    for _ in range(x.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(x, state)

@@ -227,3 +227,32 @@ def test_delay_line(rng):
     expected = np.concatenate([st, x[:-5]])
     np.testing.assert_array_equal(np.asarray(y1), expected)
     np.testing.assert_array_equal(np.asarray(st1), x[-5:])
+
+
+def test_pll_chunked_tracks_exact():
+    """The chunk-vectorized engine matches the exact engine closely in lock
+    (frozen-feedback approximation, ops/pll.py pll_chunked)."""
+    from sdr_tpu.ops.pll import pll_chunked
+    fs = 240e3
+    pilot = generate_sin(fs, 19e3, 48000, amplitude=0.3, phase=0.4)
+    o1, _ = pll(jnp.asarray(pilot), pll_init(), freq=19e3, fs=fs,
+                nco_scale=2.0)
+    o2, _ = pll_chunked(jnp.asarray(pilot), pll_init(), freq=19e3, fs=fs,
+                        nco_scale=2.0, chunk=16)
+    d = np.abs(np.asarray(o1) - np.asarray(o2))
+    assert d[10000:].max() < 0.1, f"post-lock divergence {d[10000:].max():.3f}"
+
+
+def test_pll_chunked_block_continuity():
+    from sdr_tpu.ops.pll import pll_chunked
+    fs = 240e3
+    pilot = generate_sin(fs, 19e3, 6400, amplitude=0.4)
+    full, _ = pll_chunked(jnp.asarray(pilot), pll_init(), freq=19e3, fs=fs,
+                          nco_scale=2.0)
+    a, st = pll_chunked(jnp.asarray(pilot[:3200]), pll_init(), freq=19e3,
+                        fs=fs, nco_scale=2.0)
+    b, _ = pll_chunked(jnp.asarray(pilot[3200:]), st, freq=19e3, fs=fs,
+                       nco_scale=2.0)
+    np.testing.assert_allclose(np.asarray(full),
+                               np.concatenate([np.asarray(a), np.asarray(b)]),
+                               atol=1e-3)

@@ -147,3 +147,19 @@ def test_noise_robustness():
     snr = tone_snr_db(np.asarray(out["mono"]), cfg.audio_fs, 1000.0,
                       skip=cfg.audio_fs // 10)
     assert snr > 15.0
+
+
+def test_stereo_separation_chunked_pll():
+    """The chunk-vectorized PLL engine preserves stereo quality."""
+    cfg = MODES[0]
+    n = int(0.5 * cfg.rf_fs)
+    left = tx.tone(cfg.rf_fs, 1000.0, n)
+    right = tx.tone(cfg.rf_fs, 2500.0, n)
+    cap = tx.synthesize_capture(cfg, seconds=0.5, left=left, right=right)
+    rx = Receiver(0, stereo=True, pll_impl="chunked")
+    out, _ = rx.run(cap)
+    skip = cfg.audio_fs // 4
+    sep = stereo_separation_db(np.asarray(out["left"]),
+                               np.asarray(out["right"]),
+                               cfg.audio_fs, 1000.0, skip=skip)
+    assert sep > 12.0, f"chunked-PLL separation {sep:.1f} dB"
