@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint the streaming state pytree on exit")
     p.add_argument("--resume", default=None,
                    help="resume the streaming state from a checkpoint")
+    p.add_argument("--stations", default=None,
+                   help="comma-separated u8 IQ capture files: batch-decode "
+                        "N independent stations in one jitted program "
+                        "(channel data parallelism); requires --wav-dir")
+    p.add_argument("--wav-dir", default=None,
+                   help="output directory for per-station WAVs "
+                        "(station<i>.wav)")
     return p
 
 
@@ -66,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     cfg = get_mode(args.mode)
     stereo = args.channels == 2
     rds = args.rds and cfg.rds_sps is not None
+
+    if args.stations:
+        return _run_stations(args, cfg, stereo, rds)
     print(f"Operating in mode {args.mode}, "
           f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
           file=sys.stderr)
@@ -138,6 +148,57 @@ def main(argv: list[str] | None = None) -> int:
               f"PS={info.ps_name!r} RT={info.radio_text.rstrip()!r} "
               f"({info.groups_seen} groups)"
               if info.pi is not None else "RDS: no sync", file=sys.stderr)
+    return 0
+
+
+def _run_stations(args, cfg, stereo, rds):
+    """Batch-decode N station captures in one jitted program (channel DP).
+
+    Files are truncated to the shortest capture so the batch is rectangular;
+    on a multi-device mesh the same entry point shards stations across
+    devices (sdr_tpu.parallel.channels).
+    """
+    import os
+    import sys as _sys
+    import numpy as np
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu.io import wav as wavio
+
+    paths = [p for p in args.stations.split(",") if p]
+    if not args.wav_dir:
+        print("--stations requires --wav-dir", file=_sys.stderr)
+        return 1
+    os.makedirs(args.wav_dir, exist_ok=True)
+    caps = [np.fromfile(p, dtype=np.uint8) for p in paths]
+    n = min(len(c) for c in caps)
+    batch = np.stack([c[:n] for c in caps])
+    print(f"Decoding {len(paths)} stations x {n//2} IQ samples (batched)",
+          file=_sys.stderr)
+
+    rx = Receiver(args.mode, stereo=stereo, rds=rds)
+    out, _ = rx.run(batch, blocks_per_step=args.blocks_per_step)
+    for i, path in enumerate(paths):
+        if stereo:
+            frames = np.stack([np.asarray(out["left"][i]),
+                               np.asarray(out["right"][i])], axis=1)
+            pcm = np.where(np.isnan(frames), 0.0, frames * 16384.0
+                           ).astype(np.int16)
+        else:
+            mono = np.asarray(out["mono"][i])
+            pcm = np.where(np.isnan(mono), 0.0, mono * 16384.0
+                           ).astype(np.int16)
+        dst = os.path.join(args.wav_dir, f"station{i}.wav")
+        wavio.write_wav(dst, cfg.audio_fs, pcm)
+        print(f"  station {i} ({os.path.basename(path)}) -> {dst}",
+              file=_sys.stderr)
+    if rds:
+        from sdr_tpu.rds import decode_rds_soft
+        for i, path in enumerate(paths):
+            info = decode_rds_soft(np.asarray(out["rds_soft"][i]),
+                                   cfg.rds_sps)
+            msg = (f"PI={info.pi:#06x} PS={info.ps_name!r}"
+                   if info.pi is not None else "no sync")
+            print(f"  station {i} RDS: {msg}", file=_sys.stderr)
     return 0
 
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from sdr_tpu.config import ModeConfig, get_mode
 from sdr_tpu.ops import firdes
-from sdr_tpu.ops.demod import fm_discriminator
+from sdr_tpu.ops.demod import fm_arctan, fm_discriminator
 from sdr_tpu.ops.pll import PLLState, pll, pll_init
 from sdr_tpu.ops.pointwise import delay_line, lr_matrix, mixer
 from sdr_tpu.ops.resample import PolyphaseResampler, fir_filter
@@ -64,7 +64,9 @@ class Receiver:
                  rds_pll_bandwidth: float = 0.003,
                  rds_rrc_taps: int = 151,
                  emit_if: bool = False,
-                 pll_impl: str = "auto"):
+                 pll_impl: str = "auto",
+                 demod: str = "discriminator",
+                 fused_frontend: bool = False):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -85,6 +87,11 @@ class Receiver:
             pll_impl = "scan"
         assert pll_impl in ("scan", "pallas", "chunked")
         self.pll_impl = pll_impl
+        # 'discriminator' = reference C++ FMDemod (src/filter.cpp:106-133);
+        # 'arctan' = the Python golden model's atan2+unwrap+diff demod
+        # (model/fmSupportLib.py:34-63)
+        assert demod in ("discriminator", "arctan")
+        self.demod = demod
 
         if_fs = cfg.if_fs
         # --- filter design (once, host-side; reference project.cpp:37,97,104,117)
@@ -92,6 +99,12 @@ class Receiver:
         audio_coeff = firdes.lowpass(if_fs * cfg.audio_interp, cfg.audio_fc,
                                      cfg.audio_taps, cfg.audio_gain)
         self.rf_resampler = PolyphaseResampler(rf_coeff, 1, cfg.rf_decim)
+        # fused u8-decode+channelize Pallas kernel (ops/pallas/frontend_kernel):
+        # avoids materializing the 8x-larger f32 I/Q stream in HBM
+        self.fused_frontend = fused_frontend
+        if fused_frontend:
+            from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
+            self._fused_fe = FusedFrontend(rf_coeff, cfg.rf_decim)
         self.audio_resampler = PolyphaseResampler(audio_coeff, cfg.audio_interp,
                                                   cfg.audio_decim)
         if stereo:
@@ -127,12 +140,21 @@ class Receiver:
     # ------------------------------------------------------------------ state
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> ReceiverState:
         f32 = jnp.float32
-        front = FrontEndState(
-            i_tail=self.rf_resampler.init_state(batch_shape),
-            q_tail=self.rf_resampler.init_state(batch_shape),
-            prev_i=jnp.zeros(batch_shape, f32),
-            prev_q=jnp.zeros(batch_shape, f32),
-        )
+        if self.fused_frontend:
+            # the fused kernel carries the raw u8 tail (value 128 == 0.0)
+            front = FrontEndState(
+                i_tail=self._fused_fe.init_state(batch_shape),
+                q_tail=jnp.zeros(batch_shape + (0,), f32),
+                prev_i=jnp.zeros(batch_shape, f32),
+                prev_q=jnp.zeros(batch_shape, f32),
+            )
+        else:
+            front = FrontEndState(
+                i_tail=self.rf_resampler.init_state(batch_shape),
+                q_tail=self.rf_resampler.init_state(batch_shape),
+                prev_i=jnp.zeros(batch_shape, f32),
+                prev_q=jnp.zeros(batch_shape, f32),
+            )
         mono = MonoState(audio_tail=self.audio_resampler.init_state(batch_shape))
         stereo = None
         if self.stereo:
@@ -183,13 +205,26 @@ class Receiver:
         # TPU equivalent of the reference's per-building-block timing
         # requirement (SURVEY §5.1)
         with jax.named_scope("rf_frontend"):
-            i_raw, q_raw = decode_u8_iq(iq_u8)
-            # RF front end (reference rf_thread, src/project.cpp:48-69)
-            i_ds, i_tail = self.rf_resampler(i_raw, state.front.i_tail)
-            q_ds, q_tail = self.rf_resampler(q_raw, state.front.q_tail)
-            fm_demod, prev_i, prev_q = fm_discriminator(
-                i_ds, q_ds, state.front.prev_i, state.front.prev_q)
-            front = FrontEndState(i_tail, q_tail, prev_i, prev_q)
+            if self.fused_frontend:
+                i_ds, q_ds, i_tail = self._fused_fe(
+                    iq_u8, state.front.i_tail,
+                    interpret=jax.default_backend() != "tpu")
+                q_tail = state.front.q_tail
+            else:
+                i_raw, q_raw = decode_u8_iq(iq_u8)
+                # RF front end (reference rf_thread, src/project.cpp:48-69)
+                i_ds, i_tail = self.rf_resampler(i_raw, state.front.i_tail)
+                q_ds, q_tail = self.rf_resampler(q_raw, state.front.q_tail)
+            if self.demod == "arctan":
+                # prev_i slot carries the phase; prev_q is unused
+                fm_demod, prev_phase = fm_arctan(i_ds, q_ds,
+                                                 state.front.prev_i)
+                front = FrontEndState(i_tail, q_tail, prev_phase,
+                                      state.front.prev_q)
+            else:
+                fm_demod, prev_i, prev_q = fm_discriminator(
+                    i_ds, q_ds, state.front.prev_i, state.front.prev_q)
+                front = FrontEndState(i_tail, q_tail, prev_i, prev_q)
 
         outputs: dict[str, jax.Array] = {}
         if self.emit_if:

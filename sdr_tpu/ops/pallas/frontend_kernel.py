@@ -1,0 +1,136 @@
+"""Fused RF front-end Pallas kernel: u8 decode + deinterleave + FIR + decimate.
+
+The XLA mono chain is HBM-bound on the materialized float32 decode: u8 IQ
+(1 byte) becomes 8 bytes of I/Q float before the channelizer conv reads it
+again — 5x the fundamental traffic (measured: decode alone runs at the HBM
+roofline, SURVEY §7 step 6).  This kernel keeps the stream as u8 all the way
+into VMEM and fuses the whole front end:
+
+  per (C=128, IN) u8 tile:   xf = (u8 - 128) / 128            (VPU)
+                              out = xf @ A                      (MXU)
+
+where A is a constant banded (IN x 2*OT) matrix encoding, for each of OT
+decimated IF samples, the 51-tap FIR over the *interleaved* stream — column
+n of the I half has h[k] at row 2*(n*D - k) + tail_len, the Q half at the
+odd rows.  Channels ride the M dimension of the matmul, so the natural
+(C, time) layout is preserved end to end with zero transposes.  The band
+occupies ~140 of ~2700 rows per column; the dense MXU matmul wastes ~19x
+FLOPs but the chain is bandwidth-bound, not FLOP-bound.
+
+Streaming state: callers prepend the carried 2*(rf_taps-1) u8 tail
+(exactly the reference's resample tail semantics, src/filter.cpp:95-102,
+but in the raw interleaved domain).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _build_band_matrix(coeff: np.ndarray, decim: int, out_tile: int,
+                       tail_u8: int) -> np.ndarray:
+    """A[l, n] (and Q half at n+OT): h[k] at interleaved-row 2*(n*D-k)+tail."""
+    taps = len(coeff)
+    in_len = 2 * decim * out_tile + tail_u8
+    a = np.zeros((in_len, 2 * out_tile), dtype=np.float32)
+    for n in range(out_tile):
+        for k in range(taps):
+            l = 2 * (n * decim - k) + tail_u8
+            if 0 <= l < in_len:
+                a[l, n] = coeff[k]            # I (even rows)
+                a[l + 1, n + out_tile] = coeff[k]  # Q (odd rows)
+    return a
+
+
+def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
+                     in_len, out_tile, decim):
+    t = pl.program_id(0)
+    start = t * 2 * decim * out_tile
+    dma = pltpu.make_async_copy(xp_ref.at[:, pl.ds(start, in_len)],
+                                scratch_ref, sem)
+    dma.start()
+    dma.wait()
+    # Mosaic has no direct u8->f32 cast; XOR the sign bit to reinterpret the
+    # excess-128 byte as int8 (exactly x-128), then widen.
+    as_i8 = pltpu.bitcast(scratch_ref[:, :] ^ jnp.uint8(0x80), jnp.int8)
+    xf = as_i8.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
+    out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
+    i_ref[:, :] = out[:, :out_tile]
+    q_ref[:, :] = out[:, out_tile:]
+
+
+@functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret"))
+def _fused_frontend_call(xp, a, *, decim, out_tile, interpret):
+    c, total = xp.shape
+    tail_u8 = a.shape[0] - 2 * decim * out_tile
+    n_out = (total - tail_u8) // (2 * decim)
+    grid = n_out // out_tile
+    kernel = functools.partial(_frontend_kernel, in_len=a.shape[0],
+                               out_tile=out_tile, decim=decim)
+    i_ds, q_ds = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+                   jax.ShapeDtypeStruct((c, n_out), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((a.shape[0], 2 * out_tile),
+                               lambda t: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((c, out_tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((c, out_tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((c, a.shape[0]), jnp.uint8),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(xp, a)
+    return i_ds, q_ds
+
+
+class FusedFrontend:
+    """Stateful fused channelizer: __call__(u8_block, tail) like two
+    PolyphaseResamplers + decode, returning (i_ds, q_ds, new_tail).
+
+    tail is the carried last 2*(taps-1) interleaved u8 samples.
+    """
+
+    def __init__(self, coeff: np.ndarray, decim: int, out_tile: int = 128):
+        self.taps = len(coeff)
+        self.decim = int(decim)
+        self.out_tile = int(out_tile)
+        # carried raw tail, rounded up to the 128-lane DMA alignment Mosaic
+        # requires; rows below the FIR reach are zero in the band matrix
+        self.tail_u8 = -(-(2 * (self.taps - 1)) // 128) * 128
+        self._a = jnp.asarray(_build_band_matrix(
+            np.asarray(coeff, np.float64), decim, out_tile, self.tail_u8))
+
+    def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
+        # value 128 decodes to 0.0 == zero-filled float tails
+        return jnp.full(batch_shape + (self.tail_u8,), 128, dtype=jnp.uint8)
+
+    def __call__(self, u8_block: jax.Array, tail: jax.Array,
+                 interpret: bool = False):
+        squeeze = u8_block.ndim == 1
+        if squeeze:
+            u8_block = u8_block[None]
+            tail = tail[None]
+        c, n = u8_block.shape
+        n_out = n // (2 * self.decim)
+        assert n_out % self.out_tile == 0, (
+            f"IF samples per block {n_out} not divisible by tile "
+            f"{self.out_tile}")
+        xp = jnp.concatenate([tail, u8_block], axis=-1)
+        i_ds, q_ds = _fused_frontend_call(xp, self._a, decim=self.decim,
+                                          out_tile=self.out_tile,
+                                          interpret=interpret)
+        new_tail = u8_block[..., n - self.tail_u8:]
+        if squeeze:
+            i_ds, q_ds, new_tail = i_ds[0], q_ds[0], new_tail[0]
+        return i_ds, q_ds, new_tail

@@ -127,3 +127,28 @@ def test_cli_mono_end_to_end(tmp_path):
 def test_cli_invalid_mode():
     from sdr_tpu.cli import main
     assert main(["9", "1"]) == 1
+
+
+def test_cli_multi_station(tmp_path):
+    from sdr_tpu.cli import main
+
+    cfg = MODES[0]
+    n = int(0.08 * cfg.rf_fs)
+    paths = []
+    for i, f in enumerate([900.0, 1800.0]):
+        cap = tx.synthesize_capture(cfg, seconds=0.08,
+                                    mono=tx.tone(cfg.rf_fs, f, n), seed=i)
+        p = str(tmp_path / f"cap{i}.raw")
+        cap.tofile(p)
+        paths.append(p)
+    wav_dir = str(tmp_path / "wavs")
+    rc = main(["0", "1", "--stations", ",".join(paths), "--wav-dir", wav_dir,
+               "--blocks-per-step", "2"])
+    assert rc == 0
+    from sdr_tpu.io.wav import read_wav
+    from sdr_tpu.utils.compare import tone_snr_db
+    for i, f in enumerate([900.0, 1800.0]):
+        rate, data = read_wav(os.path.join(wav_dir, f"station{i}.wav"))
+        assert rate == cfg.audio_fs
+        assert tone_snr_db(data.astype(np.float64), rate, f,
+                           skip=1000) > 20.0
