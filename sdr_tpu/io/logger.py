@@ -54,3 +54,19 @@ def stage_times() -> dict[str, float]:
 
 def reset_stage_times() -> None:
     _STAGE_TIMES.clear()
+
+
+def print_real_vector(x, max_elems: int = 10) -> str:
+    """Pretty-print helper (reference src/iofunc.cpp:15-21 `printRealVector`)."""
+    x = np.asarray(x).ravel()
+    shown = ", ".join(f"{v:.5f}" for v in x[:max_elems])
+    tail = ", ..." if len(x) > max_elems else ""
+    return f"[{shown}{tail}] ({len(x)} elems)"
+
+
+def print_complex_vector(x, max_elems: int = 10) -> str:
+    """Pretty-print helper (reference src/iofunc.cpp:23-29 `printComplexVector`)."""
+    x = np.asarray(x).ravel()
+    shown = ", ".join(f"{v.real:.5f}{v.imag:+.5f}j" for v in x[:max_elems])
+    tail = ", ..." if len(x) > max_elems else ""
+    return f"[{shown}{tail}] ({len(x)} elems)"

@@ -151,3 +151,45 @@ def test_full_rf_rds_loop():
     info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
     assert info.groups_seen >= 3, f"only {info.groups_seen} groups decoded"
     assert info.pi == 0x3D44
+
+
+@pytest.mark.slow
+def test_full_rf_rds_loop_mode2():
+    """Mode 2: SPS=35, RDS resampler 133/384 — exercises the rational
+    polyphase factors derived in config.py for the 44.1 kHz mode."""
+    cfg = MODES[2]
+    seconds = 1.0
+    bits = rds_tx.standard_group_stream(pi=0x2AB5, ps_name="MODE2FM ",
+                                        n_groups=int(seconds * 1187.5 / 104) + 2)
+    rds_bb = rds_tx.bits_to_baseband(bits, cfg.rf_fs)
+    n = int(seconds * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=seconds,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n),
+                                rds_baseband=rds_bb[:n], a_rds=0.1)
+    rx = Receiver(2, rds=True)
+    out, _ = rx.run(cap)
+    info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
+    assert info.groups_seen >= 2, f"only {info.groups_seen} groups decoded"
+    assert info.pi == 0x2AB5
+
+
+@pytest.mark.slow
+def test_rds_noise_robustness():
+    """RDS still syncs at moderate RF SNR; heavy noise degrades without
+    crashing (the spec's sync-loss brute-force re-search, SURVEY §5.3)."""
+    cfg = MODES[0]
+    seconds = 1.0
+    bits = rds_tx.standard_group_stream(pi=0x3D44,
+                                        n_groups=int(seconds * 1187.5 / 104) + 2)
+    rds_bb = rds_tx.bits_to_baseband(bits, cfg.rf_fs)
+    n = int(seconds * cfg.rf_fs)
+    for noise_db, min_groups in [(-40.0, 2), (-10.0, 0)]:
+        cap = tx.synthesize_capture(cfg, seconds=seconds,
+                                    mono=tx.tone(cfg.rf_fs, 1000.0, n),
+                                    rds_baseband=rds_bb[:n], a_rds=0.1,
+                                    noise_db=noise_db)
+        rx = Receiver(0, rds=True)
+        out, _ = rx.run(cap, blocks_per_step=4)
+        info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
+        assert info.groups_seen >= min_groups, (
+            f"noise {noise_db} dB: {info.groups_seen} groups")
