@@ -66,7 +66,7 @@ class Receiver:
                  emit_if: bool = False,
                  pll_impl: str = "auto",
                  demod: str = "discriminator",
-                 fused_frontend: bool = False):
+                 fused_frontend: bool | str = False):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -100,11 +100,17 @@ class Receiver:
                                      cfg.audio_taps, cfg.audio_gain)
         self.rf_resampler = PolyphaseResampler(rf_coeff, 1, cfg.rf_decim)
         # fused u8-decode+channelize Pallas kernel (ops/pallas/frontend_kernel):
-        # avoids materializing the 8x-larger f32 I/Q stream in HBM
-        self.fused_frontend = fused_frontend
+        # avoids materializing the 8x-larger f32 I/Q stream in HBM.
+        # True / "f32" = exact; "bf16" = 4x MXU rate at ~53 dB channelizer
+        # SNR (exact u8 decode, coefficient rounding only) — measured 2x
+        # end-to-end mono throughput on v5e, transparent for FM audio whose
+        # demod distortion floor is ~25 dB.
+        self.fused_frontend = bool(fused_frontend)
         if fused_frontend:
             from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
-            self._fused_fe = FusedFrontend(rf_coeff, cfg.rf_decim)
+            dt = jnp.bfloat16 if fused_frontend == "bf16" else jnp.float32
+            self._fused_fe = FusedFrontend(rf_coeff, cfg.rf_decim,
+                                           compute_dtype=dt)
         self.audio_resampler = PolyphaseResampler(audio_coeff, cfg.audio_interp,
                                                   cfg.audio_decim)
         if stereo:

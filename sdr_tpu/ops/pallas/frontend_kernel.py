@@ -51,7 +51,7 @@ def _build_band_matrix(coeff: np.ndarray, decim: int, out_tile: int,
 
 
 def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
-                     in_len, out_tile, decim):
+                     in_len, out_tile, decim, compute_dtype):
     t = pl.program_id(0)
     start = t * 2 * decim * out_tile
     dma = pltpu.make_async_copy(xp_ref.at[:, pl.ds(start, in_len)],
@@ -59,22 +59,28 @@ def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
     dma.start()
     dma.wait()
     # Mosaic has no direct u8->f32 cast; XOR the sign bit to reinterpret the
-    # excess-128 byte as int8 (exactly x-128), then widen.
+    # excess-128 byte as int8 (exactly x-128), then widen.  Note the decode
+    # is EXACT in bf16 too: (x-128) in [-128,127] and /128 are both
+    # representable (8 mantissa bits, power-of-two scale).
     as_i8 = pltpu.bitcast(scratch_ref[:, :] ^ jnp.uint8(0x80), jnp.int8)
-    xf = as_i8.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
+    xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
     out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
     i_ref[:, :] = out[:, :out_tile]
     q_ref[:, :] = out[:, out_tile:]
 
 
-@functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret"))
-def _fused_frontend_call(xp, a, *, decim, out_tile, interpret):
+@functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
+                                              "compute_dtype"))
+def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
+                         compute_dtype=jnp.float32):
     c, total = xp.shape
     tail_u8 = a.shape[0] - 2 * decim * out_tile
     n_out = (total - tail_u8) // (2 * decim)
     grid = n_out // out_tile
     kernel = functools.partial(_frontend_kernel, in_len=a.shape[0],
-                               out_tile=out_tile, decim=decim)
+                               out_tile=out_tile, decim=decim,
+                               compute_dtype=compute_dtype)
+    a = a.astype(compute_dtype)
     i_ds, q_ds = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -101,10 +107,15 @@ class FusedFrontend:
     tail is the carried last 2*(taps-1) interleaved u8 samples.
     """
 
-    def __init__(self, coeff: np.ndarray, decim: int, out_tile: int = 128):
+    def __init__(self, coeff: np.ndarray, decim: int, out_tile: int = 128,
+                 compute_dtype=None):
         self.taps = len(coeff)
         self.decim = int(decim)
         self.out_tile = int(out_tile)
+        # bf16 mode: exact u8 decode, ~0.4% coefficient rounding (~55 dB
+        # output SNR) for a 4x MXU rate and half the VMEM traffic
+        import jax.numpy as _jnp
+        self.compute_dtype = compute_dtype or _jnp.float32
         # carried raw tail, rounded up to the 128-lane DMA alignment Mosaic
         # requires; rows below the FIR reach are zero in the band matrix
         self.tail_u8 = -(-(2 * (self.taps - 1)) // 128) * 128
@@ -129,7 +140,8 @@ class FusedFrontend:
         xp = jnp.concatenate([tail, u8_block], axis=-1)
         i_ds, q_ds = _fused_frontend_call(xp, self._a, decim=self.decim,
                                           out_tile=self.out_tile,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          compute_dtype=self.compute_dtype)
         new_tail = u8_block[..., n - self.tail_u8:]
         if squeeze:
             i_ds, q_ds, new_tail = i_ds[0], q_ds[0], new_tail[0]

@@ -200,3 +200,26 @@ def test_compat_shared_audio_state():
     # (that is precisely the defect), so no split-invariance here
     np.testing.assert_allclose(np.asarray(o_c1["left"]),
                                np.asarray(o_c1b["left"]), atol=0)
+
+
+@pytest.mark.parametrize("variant", ["f32", "bf16"])
+def test_fused_frontend_end_to_end(variant):
+    """Fused Pallas front-end (exact f32 and fast bf16) through the whole
+    mono chain: bf16's ~53 dB channelizer SNR is transparent at the ~25 dB
+    FM demod distortion floor."""
+    from sdr_tpu.utils.compare import stream_snr_db
+    cfg = MODES[0]
+    n = int(0.15 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.15,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    direct = Receiver(0)
+    fused = Receiver(0, fused_frontend=True if variant == "f32" else "bf16")
+    od, _ = direct.run(cap)
+    of, _ = fused.run(cap)
+    snr_fidelity = stream_snr_db(np.asarray(of["mono"]),
+                                 np.asarray(od["mono"]), skip=100)
+    floor = 90.0 if variant == "f32" else 40.0
+    assert snr_fidelity > floor, f"{variant}: {snr_fidelity:.1f} dB vs direct"
+    snr_tone = tone_snr_db(np.asarray(of["mono"]), cfg.audio_fs, 1000.0,
+                           skip=cfg.audio_fs // 10)
+    assert snr_tone > 25.0
