@@ -7,7 +7,7 @@ that convention are provided for golden-file comparison.
 
 from __future__ import annotations
 
-import struct
+
 import wave
 
 import numpy as np

@@ -23,7 +23,7 @@ Signal chain per block (reference call stack SURVEY §3.1):
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ import numpy as np
 from sdr_tpu.config import ModeConfig, get_mode
 from sdr_tpu.ops import firdes
 from sdr_tpu.ops.demod import fm_arctan, fm_discriminator
-from sdr_tpu.ops.pll import PLLState, pll, pll_init
+from sdr_tpu.ops.pll import pll, pll_init
 from sdr_tpu.ops.pointwise import delay_line, lr_matrix, mixer
 from sdr_tpu.ops.resample import PolyphaseResampler, fir_filter
 from sdr_tpu.io.stream import decode_u8_iq

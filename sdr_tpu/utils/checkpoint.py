@@ -9,7 +9,7 @@ any batch shape).
 
 from __future__ import annotations
 
-import io
+
 
 import jax
 import numpy as np

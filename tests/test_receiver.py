@@ -223,3 +223,20 @@ def test_fused_frontend_end_to_end(variant):
     snr_tone = tone_snr_db(np.asarray(of["mono"]), cfg.audio_fs, 1000.0,
                            skip=cfg.audio_fs // 10)
     assert snr_tone > 25.0
+
+
+def test_stereo_with_fused_frontend():
+    """Stereo decode through the fused bf16 front-end: the ~53 dB
+    channelizer noise floor is far below the pilot PLL's operating point."""
+    cfg = MODES[0]
+    n = int(0.4 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.4,
+                                left=tx.tone(cfg.rf_fs, 1000.0, n),
+                                right=tx.tone(cfg.rf_fs, 2500.0, n))
+    rx = Receiver(0, stereo=True, fused_frontend="bf16", pll_impl="chunked")
+    out, _ = rx.run(cap)
+    skip = cfg.audio_fs // 4
+    sep = stereo_separation_db(np.asarray(out["left"]),
+                               np.asarray(out["right"]),
+                               cfg.audio_fs, 1000.0, skip=skip)
+    assert sep > 12.0, f"fused+chunked separation {sep:.1f} dB"
