@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint the streaming state pytree on exit")
     p.add_argument("--resume", default=None,
                    help="resume the streaming state from a checkpoint")
+    p.add_argument("--fast", action="store_true",
+                   help="fast engines: fused bf16 Pallas front-end + "
+                        "chunk-vectorized PLL (~3x throughput; ~53 dB "
+                        "channelizer SNR, transparent for FM audio)")
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory "
+                        "(per-stage named scopes included)")
     p.add_argument("--stations", default=None,
                    help="comma-separated u8 IQ capture files: batch-decode "
                         "N independent stations in one jitted program "
@@ -80,8 +87,9 @@ def main(argv: list[str] | None = None) -> int:
           f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
           file=sys.stderr)
 
+    fast = dict(fused_frontend="bf16", pll_impl="chunked") if args.fast else {}
     rx = Receiver(args.mode, stereo=stereo, rds=rds,
-                  emit_if=args.psd_dump is not None)
+                  emit_if=args.psd_dump is not None, **fast)
     state = rx.init_state()
     if args.resume:
         from sdr_tpu.utils.checkpoint import load_state
@@ -100,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     pending = None  # double buffering: overlap host read with device compute
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     for raw in _block_source(fin, block_size):
         if pending is not None:
             _drain(pending, stereo, fout, wav_chunks, rds_soft, if_chunks)
@@ -109,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
     if pending is not None:
         _drain(pending, stereo, fout, wav_chunks, rds_soft, if_chunks)
 
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"Wrote profiler trace to {args.profile}", file=sys.stderr)
     elapsed = time.perf_counter() - t0
     if args.stats:
         ms = n_in / 2 / elapsed / 1e6
@@ -175,7 +188,8 @@ def _run_stations(args, cfg, stereo, rds):
     print(f"Decoding {len(paths)} stations x {n//2} IQ samples (batched)",
           file=_sys.stderr)
 
-    rx = Receiver(args.mode, stereo=stereo, rds=rds)
+    fast = dict(fused_frontend="bf16", pll_impl="chunked") if args.fast else {}
+    rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     out, _ = rx.run(batch, blocks_per_step=args.blocks_per_step)
     for i, path in enumerate(paths):
         if stereo:

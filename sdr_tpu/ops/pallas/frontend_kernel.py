@@ -138,10 +138,19 @@ class FusedFrontend:
             f"IF samples per block {n_out} not divisible by tile "
             f"{self.out_tile}")
         xp = jnp.concatenate([tail, u8_block], axis=-1)
+        # Mosaic u8 sublane tiling requires the channel dim to be a multiple
+        # of 8; pad small batches with 128-bytes (decode to 0.0)
+        c_pad = -(-c // 8) * 8
+        if c_pad != c:
+            xp = jnp.concatenate(
+                [xp, jnp.full((c_pad - c, xp.shape[-1]), 128, jnp.uint8)],
+                axis=0)
         i_ds, q_ds = _fused_frontend_call(xp, self._a, decim=self.decim,
                                           out_tile=self.out_tile,
                                           interpret=interpret,
                                           compute_dtype=self.compute_dtype)
+        if c_pad != c:
+            i_ds, q_ds = i_ds[:c], q_ds[:c]
         new_tail = u8_block[..., n - self.tail_u8:]
         if squeeze:
             i_ds, q_ds, new_tail = i_ds[0], q_ds[0], new_tail[0]

@@ -152,3 +152,43 @@ def test_cli_multi_station(tmp_path):
         assert rate == cfg.audio_fs
         assert tone_snr_db(data.astype(np.float64), rate, f,
                            skip=1000) > 20.0
+
+
+def test_cli_fast_mode(tmp_path):
+    """--fast engines (fused bf16 + chunked PLL) through the CLI surface."""
+    from sdr_tpu.cli import main
+    cfg = MODES[0]
+    n = int(0.08 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.08,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    inp = str(tmp_path / "cap.raw")
+    outp = str(tmp_path / "audio.raw")
+    cap.tofile(inp)
+    rc = main(["0", "1", "--in", inp, "--out", outp, "--fast",
+               "--blocks-per-step", "2"])
+    assert rc == 0
+    audio = np.fromfile(outp, dtype="<i2")
+    assert len(audio) > 1000 and np.abs(audio).max() > 1000
+
+
+def test_custom_mode_config():
+    """Users can register custom modes: a 1.92 MS/s mono mode."""
+    from sdr_tpu.config import ModeConfig
+    cfg = ModeConfig(mode=99, rf_fs=1_920_000, rf_decim=8, audio_interp=1,
+                     audio_decim=5, audio_fs=48_000, rds_sps=None)
+    cfg.validate()
+    n = int(0.08 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.08,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    rx = Receiver(cfg)
+    out, _ = rx.run(cap)
+    from sdr_tpu.utils.compare import tone_snr_db
+    assert tone_snr_db(np.asarray(out["mono"]), cfg.audio_fs, 1000.0,
+                       skip=1000) > 20.0
+
+
+def test_distributed_single_process_helpers():
+    from sdr_tpu.parallel.distributed import initialize, local_channel_slice
+    initialize(num_processes=1)  # no-op
+    start, stop = local_channel_slice(8)
+    assert (start, stop) == (0, 8)
