@@ -34,7 +34,7 @@ from sdr_tpu.ops import firdes
 from sdr_tpu.ops.demod import fm_arctan, fm_discriminator
 from sdr_tpu.ops.pll import pll, pll_init
 from sdr_tpu.ops.pointwise import delay_line, lr_matrix, mixer
-from sdr_tpu.ops.resample import PolyphaseResampler, fir_filter
+from sdr_tpu.ops.resample import PolyphaseResampler
 from sdr_tpu.io.stream import decode_u8_iq
 from sdr_tpu.models.state import (FrontEndState, MonoState, RdsState,
                                   ReceiverState, StereoState)
@@ -66,7 +66,8 @@ class Receiver:
                  emit_if: bool = False,
                  pll_impl: str = "auto",
                  demod: str = "discriminator",
-                 fused_frontend: bool | str = False):
+                 fused_frontend: bool | str = False,
+                 filter_engine: str = "direct"):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -92,13 +93,25 @@ class Receiver:
         # (model/fmSupportLib.py:34-63)
         assert demod in ("discriminator", "arctan")
         self.demod = demod
+        # 'direct' = polyphase filter-bank conv (MXU); 'fft' = frequency-
+        # domain overlap-save (ops/fft_conv.py) for the decimate-only stages
+        # — the two interchangeable convolution engines of the north star.
+        assert filter_engine in ("direct", "fft")
+        self.filter_engine = filter_engine
+
+        def _dec_filter(coeff, down=1):
+            """Decimating FIR in the selected engine (U=1 stages only)."""
+            if filter_engine == "fft":
+                from sdr_tpu.ops.fft_conv import OverlapSaveFIR
+                return OverlapSaveFIR(coeff, down)
+            return PolyphaseResampler(coeff, 1, down)
 
         if_fs = cfg.if_fs
         # --- filter design (once, host-side; reference project.cpp:37,97,104,117)
         rf_coeff = firdes.lowpass(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps, 1)
         audio_coeff = firdes.lowpass(if_fs * cfg.audio_interp, cfg.audio_fc,
                                      cfg.audio_taps, cfg.audio_gain)
-        self.rf_resampler = PolyphaseResampler(rf_coeff, 1, cfg.rf_decim)
+        self.rf_resampler = _dec_filter(rf_coeff, cfg.rf_decim)
         # fused u8-decode+channelize Pallas kernel (ops/pallas/frontend_kernel):
         # avoids materializing the 8x-larger f32 I/Q stream in HBM.
         # True / "f32" = exact; "bf16" = 4x MXU rate at ~53 dB channelizer
@@ -111,17 +124,24 @@ class Receiver:
             dt = jnp.bfloat16 if fused_frontend == "bf16" else jnp.float32
             self._fused_fe = FusedFrontend(rf_coeff, cfg.rf_decim,
                                            compute_dtype=dt)
-        self.audio_resampler = PolyphaseResampler(audio_coeff, cfg.audio_interp,
-                                                  cfg.audio_decim)
+        if filter_engine == "fft" and cfg.audio_interp == 1:
+            self.audio_resampler = _dec_filter(audio_coeff, cfg.audio_decim)
+        else:
+            self.audio_resampler = PolyphaseResampler(
+                audio_coeff, cfg.audio_interp, cfg.audio_decim)
         if stereo:
             chan_coeff = firdes.bandpass(if_fs, cfg.stereo_lo, cfg.stereo_hi,
                                          cfg.bp_taps)
             pilot_coeff = firdes.bandpass(if_fs, cfg.pilot_lo, cfg.pilot_hi,
                                           cfg.bp_taps)
-            self.channel_filter = fir_filter(chan_coeff)
-            self.carrier_filter = fir_filter(pilot_coeff)
-            self.stereo_audio_resampler = PolyphaseResampler(
-                audio_coeff, cfg.audio_interp, cfg.audio_decim)
+            self.channel_filter = _dec_filter(chan_coeff)
+            self.carrier_filter = _dec_filter(pilot_coeff)
+            if filter_engine == "fft" and cfg.audio_interp == 1:
+                self.stereo_audio_resampler = _dec_filter(audio_coeff,
+                                                          cfg.audio_decim)
+            else:
+                self.stereo_audio_resampler = PolyphaseResampler(
+                    audio_coeff, cfg.audio_interp, cfg.audio_decim)
         if rds:
             u, d = cfg.rds_resample
             self.rds_u, self.rds_d = u, d
@@ -131,10 +151,10 @@ class Receiver:
             rds_lpf = firdes.lowpass(if_fs * u, cfg.rds_fc, cfg.bp_taps * u, u)
             rrc = firdes.root_raised_cosine(cfg.rds_fs, rds_rrc_taps,
                                             cfg.rds_symbol_rate)
-            self.rds_channel_filter = fir_filter(rds_chan)
-            self.rds_carrier_filter = fir_filter(rds_carr)
+            self.rds_channel_filter = _dec_filter(rds_chan)
+            self.rds_carrier_filter = _dec_filter(rds_carr)
             self.rds_resampler = PolyphaseResampler(rds_lpf, u, d)
-            self.rds_rrc = fir_filter(rrc)
+            self.rds_rrc = _dec_filter(rrc)
             # group-delay alignment of the channel path against the
             # square->BPF(51 taps)->PLL carrier path (spec Fig 10 all-pass)
             self.rds_delay = (cfg.bp_taps - 1) // 2

@@ -193,3 +193,17 @@ def test_rds_noise_robustness():
         info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
         assert info.groups_seen >= min_groups, (
             f"noise {noise_db} dB: {info.groups_seen} groups")
+
+
+def test_manchester_pairing_score_agrees_with_decoder(rng):
+    """The on-TPU pairing-score formulation picks the same parity as the
+    host decoder."""
+    import jax.numpy as jnp
+    from sdr_tpu.rds.timing import manchester_pairing_score
+    bits = rng.integers(0, 2, 80).astype(np.uint8)
+    sym = biphase_encode(differential_encode(bits))
+    s_even, s_odd = manchester_pairing_score(jnp.asarray(sym))
+    assert float(s_even) > float(s_odd)
+    shifted = np.concatenate([[0.0], sym])
+    s_even2, s_odd2 = manchester_pairing_score(jnp.asarray(shifted))
+    assert float(s_odd2) > float(s_even2)

@@ -240,3 +240,20 @@ def test_stereo_with_fused_frontend():
                                np.asarray(out["right"]),
                                cfg.audio_fs, 1000.0, skip=skip)
     assert sep > 12.0, f"fused+chunked separation {sep:.1f} dB"
+
+
+def test_fft_filter_engine_matches_direct():
+    """The FFT overlap-save engine is interchangeable with the direct
+    polyphase engine across the whole receiver (mono + stereo, mode 0)."""
+    from sdr_tpu.utils.compare import stream_snr_db
+    cfg = MODES[0]
+    n = int(0.15 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.15,
+                                left=tx.tone(cfg.rf_fs, 1000.0, n),
+                                right=tx.tone(cfg.rf_fs, 2500.0, n))
+    od, _ = Receiver(0, stereo=True).run(cap)
+    of, _ = Receiver(0, stereo=True, filter_engine="fft").run(cap)
+    for key in ("mono", "left", "right"):
+        snr = stream_snr_db(np.asarray(of[key]), np.asarray(od[key]),
+                            skip=100)
+        assert snr > 70.0, f"{key}: fft vs direct {snr:.1f} dB"
