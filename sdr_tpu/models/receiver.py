@@ -67,7 +67,8 @@ class Receiver:
                  pll_impl: str = "auto",
                  demod: str = "discriminator",
                  fused_frontend: bool | str = False,
-                 filter_engine: str = "direct"):
+                 filter_engine: str = "direct",
+                 stereo_phase_adjust: float = 0.0):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -98,6 +99,12 @@ class Receiver:
         # — the two interchangeable convolution engines of the north star.
         assert filter_engine in ("direct", "fft")
         self.filter_engine = filter_engine
+        # trim for the recovered 38 kHz subcarrier phase: the loop locks the
+        # NCO to the pilot's cosine phase (see ops/pll.py analysis); captures
+        # using a different pilot/subcarrier phase convention can be
+        # compensated here (radians at 38 kHz; reference passes 0,
+        # src/project.cpp:166)
+        self.stereo_phase_adjust = stereo_phase_adjust
 
         def _dec_filter(coeff, down=1):
             """Decimating FIR in the selected engine (U=1 stages only)."""
@@ -274,6 +281,7 @@ class Receiver:
             pilot, carrier_tail = self.carrier_filter(fm_demod, st.carrier_tail)
             nco, pll_state = self._pll(pilot, st.pll, freq=cfg.pilot_freq,
                                        fs=cfg.if_fs, nco_scale=2.0,
+                                       phase_adjust=self.stereo_phase_adjust,
                                        norm_bandwidth=0.01)
             mixed = mixer(channel, nco)                    # project.cpp:169
             if self.compat_shared_audio_state:

@@ -30,23 +30,28 @@ from sdr_tpu.config import ModeConfig
 from sdr_tpu.models.receiver import Receiver
 
 
-def halo_if(cfg: ModeConfig) -> int:
+def halo_if(cfg: ModeConfig, if_align: int = 1) -> int:
     """Left-context depth of the mono chain in IF samples.
 
     audio FIR needs ceil((audio_taps-1)/U) IF samples back, +1 for the
     discriminator's previous sample, + ceil((rf_taps-1)/rf_decim) IF slots
     whose raw windows reach past the halo start; rounded up to a multiple of
-    audio_decim so the polyphase output grid of the local run stays
-    phase-aligned with the sequential run.
+    audio_decim (polyphase output-grid phase alignment) and of `if_align`
+    (e.g. the fused front-end's 128-sample output tile).
     """
     ctx = (-(-(cfg.audio_taps - 1) // cfg.audio_interp) + 1
            + -(-(cfg.rf_taps - 1) // cfg.rf_decim))
-    return -(-ctx // cfg.audio_decim) * cfg.audio_decim
+    unit = int(np.lcm(cfg.audio_decim, if_align))
+    return -(-ctx // unit) * unit
 
 
-def halo_pairs(cfg: ModeConfig) -> int:
+def halo_pairs(cfg: ModeConfig, if_align: int = 1) -> int:
     """Left-context depth in raw IQ pairs."""
-    return halo_if(cfg) * cfg.rf_decim
+    return halo_if(cfg, if_align) * cfg.rf_decim
+
+
+def _if_align(rx: Receiver) -> int:
+    return rx._fused_fe.out_tile if rx.fused_frontend else 1
 
 
 def timesharded_mono(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "time"):
@@ -59,11 +64,12 @@ def timesharded_mono(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "time"):
     n_dev = mesh.shape[axis]
     n = iq_u8.shape[-1]
     chunk_u8 = n // n_dev
-    align = 2 * cfg.rf_decim * cfg.audio_decim
+    ia = _if_align(rx)
+    align = 2 * cfg.rf_decim * int(np.lcm(cfg.audio_decim, ia))
     assert chunk_u8 % align == 0, (
         f"per-device chunk {chunk_u8} not aligned to {align}")
-    halo_u8 = 2 * halo_pairs(cfg)
-    warm_audio = halo_if(cfg) * cfg.audio_interp // cfg.audio_decim
+    halo_u8 = 2 * halo_pairs(cfg, ia)
+    warm_audio = halo_if(cfg, ia) * cfg.audio_interp // cfg.audio_decim
 
     iq = jax.device_put(np.asarray(iq_u8),
                         NamedSharding(mesh, P(axis)))

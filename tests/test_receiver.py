@@ -257,3 +257,54 @@ def test_fft_filter_engine_matches_direct():
         snr = stream_snr_db(np.asarray(of[key]), np.asarray(od[key]),
                             skip=100)
         assert snr > 70.0, f"{key}: fft vs direct {snr:.1f} dB"
+
+
+def test_stereo_phase_adjust_compensates_sin_convention():
+    """A capture whose 38 kHz subcarrier is in *sine* convention (90 deg from
+    what the cos-locking loop recovers) nulls the stereo product — and the
+    stereo_phase_adjust trim restores it."""
+    cfg = MODES[0]
+    n = int(0.5 * cfg.rf_fs)
+    t = np.arange(n) / cfg.rf_fs
+    left = tx.tone(cfg.rf_fs, 1000.0, n)
+    right = -left  # pure L-R content
+    # hand-build a sin-convention multiplex: cos pilot, SIN subcarrier
+    theta = 2 * np.pi * 19e3 * t
+    m = (0.45 * (left + right) / 2 + 0.1 * np.cos(theta)
+         + 0.45 * ((left - right) / 2) * np.sin(2 * theta))
+    i, q = tx.fm_modulate(m, cfg.rf_fs)
+    cap = tx.to_u8_iq(i, q, dither=np.random.default_rng(0))
+    cap = cap[: (len(cap) // (2 * cfg.rf_decim * cfg.audio_decim))
+              * 2 * cfg.rf_decim * cfg.audio_decim]
+    skip = cfg.audio_fs // 4
+
+    out0, _ = Receiver(0, stereo=True).run(cap)
+    power_unadj = float(np.mean(np.asarray(out0["left"])[skip:] ** 2))
+    outc, _ = Receiver(0, stereo=True,
+                       stereo_phase_adjust=np.pi / 2).run(cap)
+    power_adj = float(np.mean(np.asarray(outc["left"])[skip:] ** 2))
+    # quadrature mismatch nulls the product; the trim restores >10x power
+    assert power_adj > 10 * power_unadj
+
+
+def test_timeshard_with_fused_frontend():
+    """Halo-exchange time sharding composes with the fused u8 front-end
+    (the carried tail is raw u8 either way)."""
+    import jax
+    from sdr_tpu.parallel.mesh import make_mesh
+    from sdr_tpu.parallel.timeshard import timesharded_mono
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs multi-device mesh")
+    cfg = MODES[0]
+    rx = Receiver(0, fused_frontend=True)
+    mesh = make_mesh(4, "time")
+    # fused front-end needs IF tiles of 128 per shard
+    align = 4 * 2 * cfg.rf_decim * int(np.lcm(cfg.audio_decim, 128))
+    n = ((int(0.2 * cfg.rf_fs) * 2) // align) * align
+    cap = tx.synthesize_capture(cfg, seconds=n / 2 / cfg.rf_fs,
+                                mono=tx.tone(cfg.rf_fs, 900.0, n // 2))[:n]
+    audio_p = timesharded_mono(rx, cap, mesh)
+    serial, _ = rx.run(cap)
+    np.testing.assert_allclose(np.asarray(audio_p),
+                               np.asarray(serial["mono"]), atol=2e-5)
