@@ -308,3 +308,27 @@ def test_timeshard_with_fused_frontend():
     serial, _ = rx.run(cap)
     np.testing.assert_allclose(np.asarray(audio_p),
                                np.asarray(serial["mono"]), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_long_stream_stability():
+    """Wrapped-phase PLL and state carries stay stable over a long stream:
+    stereo separation in the final second matches the first (no float32
+    drift — the failure mode of the reference's unbounded trigOffset,
+    SURVEY §7 hard-part 6)."""
+    cfg = MODES[0]
+    seconds = 3.0
+    n = int(seconds * cfg.rf_fs)
+    left = tx.tone(cfg.rf_fs, 1000.0, n)
+    right = tx.tone(cfg.rf_fs, 2500.0, n)
+    cap = tx.synthesize_capture(cfg, seconds=seconds, left=left, right=right)
+    rx = Receiver(0, stereo=True)
+    out, _ = rx.run(cap, blocks_per_step=8)
+    l = np.asarray(out["left"])
+    r = np.asarray(out["right"])
+    fs = cfg.audio_fs
+    sep_early = stereo_separation_db(l[fs // 2: fs + fs // 2],
+                                     r[fs // 2: fs + fs // 2], fs, 1000.0)
+    sep_late = stereo_separation_db(l[-fs:], r[-fs:], fs, 1000.0)
+    assert sep_late > sep_early - 3.0, (
+        f"separation degraded: {sep_early:.1f} -> {sep_late:.1f} dB")
