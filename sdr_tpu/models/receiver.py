@@ -56,6 +56,17 @@ class Receiver:
       rds_pll_bandwidth: loop bandwidth for the 57 kHz carrier PLL (the
            reference used 0.01 at src/project.cpp:257; narrower tracks the
            squared carrier with less phase noise).
+      emit_if: include the demodulated IF in outputs (PSD dumps,
+           fm_demod_*.bin-style cross-checks).
+      pll_impl: 'scan' (bit-faithful) | 'chunked' (16x vectorized) |
+           'pallas' (fused VMEM kernel); 'auto' = scan.
+      demod: 'discriminator' (C++ FMDemod) | 'arctan' (Python model).
+      fused_frontend: False | True/'f32' (bit-identical fused Pallas u8
+           channelizer) | 'bf16' (2x throughput, ~53 dB channelizer SNR).
+      filter_engine: 'direct' (polyphase conv) | 'fft' (overlap-save) for
+           the decimate-only FIR stages.
+      stereo_phase_adjust: radians added to the recovered 38 kHz carrier
+           phase (captures with non-cosine pilot/subcarrier conventions).
     """
 
     def __init__(self, mode: int | ModeConfig = 0, *, stereo: bool = False,

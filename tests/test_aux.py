@@ -192,3 +192,31 @@ def test_distributed_single_process_helpers():
     initialize(num_processes=1)  # no-op
     start, stop = local_channel_slice(8)
     assert (start, stop) == (0, 8)
+
+
+def test_cli_stereo_wav_channel_order(tmp_path):
+    """The WAV written by the CLI has L in column 0 (the raw stream is
+    interleaved R,L per the reference, the WAV must un-swap)."""
+    from sdr_tpu.cli import main
+    from sdr_tpu.io.wav import read_wav
+    from sdr_tpu.utils.compare import band_power_db
+
+    cfg = MODES[0]
+    n = int(0.2 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.2,
+                                left=tx.tone(cfg.rf_fs, 1000.0, n),
+                                right=tx.tone(cfg.rf_fs, 2500.0, n))
+    inp = str(tmp_path / "cap.raw")
+    wavp = str(tmp_path / "st.wav")
+    cap.tofile(inp)
+    rc = main(["0", "2", "--in", inp, "--out", str(tmp_path / "a.raw"),
+               "--wav", wavp, "--blocks-per-step", "4"])
+    assert rc == 0
+    rate, data = read_wav(wavp)
+    l, r = data[:, 0].astype(np.float64), data[:, 1].astype(np.float64)
+    skip = 2000  # capture is only ~0.2 s of audio
+    # 1 kHz was the LEFT tone: stronger in column 0 than column 1
+    assert (band_power_db(l, rate, 1000.0, skip=skip)
+            > band_power_db(r, rate, 1000.0, skip=skip) + 6)
+    assert (band_power_db(r, rate, 2500.0, skip=skip)
+            > band_power_db(l, rate, 2500.0, skip=skip) + 6)
