@@ -79,7 +79,8 @@ class Receiver:
                  demod: str = "discriminator",
                  fused_frontend: bool | str = False,
                  filter_engine: str = "direct",
-                 stereo_phase_adjust: float = 0.0):
+                 stereo_phase_adjust: float = 0.0,
+                 compat_pll: bool = False):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -116,6 +117,11 @@ class Receiver:
         # compensated here (radians at 38 kHz; reference passes 0,
         # src/project.cpp:166)
         self.stereo_phase_adjust = stereo_phase_adjust
+        # bit-faithful PLL mode: reference trigOffset counter + one-sample
+        # NCO lead (both reference defects; for parity experiments)
+        self.compat_pll = compat_pll
+        if compat_pll:
+            self.pll_wrap_phase = False
 
         def _dec_filter(coeff, down=1):
             """Decimating FIR in the selected engine (U=1 stages only)."""
@@ -227,6 +233,8 @@ class Receiver:
             return self._pll_inner(x, st, **kw)
 
     def _pll_inner(self, x, st, **kw):
+        if self.compat_pll:
+            return pll(x, st, wrap_phase=False, lag_correction=False, **kw)
         if self.pll_impl == "pallas":
             from sdr_tpu.ops.pallas.pll_kernel import pll_pallas
             return pll_pallas(x, st, interpret=jax.default_backend() != "tpu",

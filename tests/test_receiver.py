@@ -332,3 +332,57 @@ def test_long_stream_stability():
     sep_late = stereo_separation_db(l[-fs:], r[-fs:], fs, 1000.0)
     assert sep_late > sep_early - 3.0, (
         f"separation degraded: {sep_early:.1f} -> {sep_late:.1f} dB")
+
+
+@pytest.mark.slow
+def test_stereo_matches_cpp_oracle():
+    """Full C++-semantics stereo oracle: scipy front-end + reference-exact
+    scalar PLL (pll_reference) + mixer/matrix, vs the receiver in
+    compat_pll mode.  In lock the tracking loop contracts numeric
+    differences, so float32 vs float64 agree closely after acquisition."""
+    import scipy.signal as sps
+    from sdr_tpu.ops import firdes
+    from sdr_tpu.ops.pll import pll_reference
+    from sdr_tpu.utils.compare import stream_snr_db
+
+    cfg = MODES[0]
+    secs = 0.15
+    n = int(secs * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=secs,
+                                left=tx.tone(cfg.rf_fs, 1000.0, n),
+                                right=tx.tone(cfg.rf_fs, 2500.0, n))
+    rx = Receiver(0, stereo=True, compat_pll=True)
+    out, _ = rx.run(cap)
+
+    # ---- numpy oracle with the reference's C++ semantics ----
+    iq = (cap.astype(np.float64) - 128.0) / 128.0
+    rf = firdes.lowpass(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps, 1).astype(np.float64)
+    i_ds = sps.lfilter(rf, 1.0, iq[0::2])[::cfg.rf_decim]
+    q_ds = sps.lfilter(rf, 1.0, iq[1::2])[::cfg.rf_decim]
+    di = np.diff(i_ds, prepend=0.0)
+    dq = np.diff(q_ds, prepend=0.0)
+    den = i_ds**2 + q_ds**2
+    demod = np.where(den == 0, 0.0,
+                     (i_ds * dq - q_ds * di) / np.where(den == 0, 1, den))
+    af = firdes.lowpass(cfg.if_fs, cfg.audio_fc, cfg.audio_taps,
+                        1).astype(np.float64)
+    mono = sps.lfilter(af, 1.0, demod)[::cfg.audio_decim]
+    mono_shift = np.concatenate([np.zeros(cfg.mono_delay),
+                                 mono[:-cfg.mono_delay]])
+    bp_ch = firdes.bandpass(cfg.if_fs, cfg.stereo_lo, cfg.stereo_hi,
+                            cfg.bp_taps).astype(np.float64)
+    bp_pl = firdes.bandpass(cfg.if_fs, cfg.pilot_lo, cfg.pilot_hi,
+                            cfg.bp_taps).astype(np.float64)
+    channel = sps.lfilter(bp_ch, 1.0, demod)
+    pilot = sps.lfilter(bp_pl, 1.0, demod)
+    nco, _ = pll_reference(pilot.astype(np.float32), 19000.0, cfg.if_fs,
+                           2.0, 0.0, 0.01, (0.0, 0.0, 1.0, 0.0, 0.0))
+    mixed = 2.0 * channel * nco.astype(np.float64)
+    stereo = sps.lfilter(af, 1.0, mixed)[::cfg.audio_decim]
+    left_ref = (mono_shift + stereo) * 0.5
+
+    left = np.asarray(out["left"], np.float64)
+    m = min(len(left), len(left_ref))
+    skip = 2000  # past the PLL acquisition transient
+    snr = stream_snr_db(left[skip:m], left_ref[skip:m])
+    assert snr > 30.0, f"compat stereo vs C++ oracle: {snr:.1f} dB"
