@@ -7,7 +7,6 @@ that convention are provided for golden-file comparison.
 
 from __future__ import annotations
 
-
 import wave
 
 import numpy as np

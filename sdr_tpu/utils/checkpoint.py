@@ -9,8 +9,6 @@ any batch shape).
 
 from __future__ import annotations
 
-
-
 import jax
 import numpy as np
 

@@ -220,3 +220,19 @@ def test_cli_stereo_wav_channel_order(tmp_path):
             > band_power_db(r, rate, 1000.0, skip=skip) + 6)
     assert (band_power_db(r, rate, 2500.0, skip=skip)
             > band_power_db(l, rate, 2500.0, skip=skip) + 6)
+
+
+def test_cli_profile_trace(tmp_path):
+    """--profile writes a jax.profiler trace directory."""
+    from sdr_tpu.cli import main
+    cfg = MODES[0]
+    n = int(0.05 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.05,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    inp = str(tmp_path / "cap.raw")
+    prof = str(tmp_path / "trace")
+    cap.tofile(inp)
+    rc = main(["0", "1", "--in", inp, "--out", str(tmp_path / "a.raw"),
+               "--profile", prof, "--blocks-per-step", "2"])
+    assert rc == 0
+    assert os.path.isdir(prof) and any(os.scandir(prof))
