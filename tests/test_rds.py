@@ -207,3 +207,28 @@ def test_manchester_pairing_score_agrees_with_decoder(rng):
     shifted = np.concatenate([[0.0], sym])
     s_even2, s_odd2 = manchester_pairing_score(jnp.asarray(shifted))
     assert float(s_odd2) > float(s_even2)
+
+
+def test_group_4a_clock_time_roundtrip():
+    """Clock-time group (4A): MJD/hour/minute encode -> frame -> app decode."""
+    from sdr_tpu.rds.groups import make_group_4a
+    g1 = make_group_4a(pi=0x3D44, pty=2, mjd=60000, hour=23, minute=59)
+    g2 = make_group_4a(pi=0x3D44, pty=2, mjd=45678, hour=7, minute=5)
+    bits = np.concatenate([g1, g2])
+    groups, _ = extract_groups(bits)
+    assert len(groups) == 2
+    info = decode_groups(groups)
+    assert info.clock == (45678, 7, 5)  # last 4A wins
+    info1 = decode_groups(groups[:1])
+    assert info1.clock == (60000, 23, 59)
+
+
+def test_version_b_group_syncs():
+    """Version-B groups (C' offset in block 3) still frame-sync."""
+    from sdr_tpu.rds.groups import make_group
+    g = make_group(pi=0x1234, group_type=0, version_b=True, tp=False, pty=1,
+                   payload5=2, block3=0x1234, block4=0x4142)
+    bits = np.concatenate([g, g, g])
+    groups, _ = extract_groups(bits)
+    assert len(groups) == 3
+    assert all(gr.version_b for gr in groups)

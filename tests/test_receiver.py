@@ -386,3 +386,32 @@ def test_stereo_matches_cpp_oracle():
     skip = 2000  # past the PLL acquisition transient
     snr = stream_snr_db(left[skip:m], left_ref[skip:m])
     assert snr > 30.0, f"compat stereo vs C++ oracle: {snr:.1f} dB"
+
+
+def test_random_block_split_invariance(rng):
+    """State-carry fidelity under arbitrary (aligned) step sizes: a random
+    sequence of differently-sized steps equals one single-shot run."""
+    cfg = MODES[0]
+    rx = Receiver(0, stereo=True)
+    n = int(0.12 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.12,
+                                left=tx.tone(cfg.rf_fs, 1000.0, n),
+                                right=tx.tone(cfg.rf_fs, 2000.0, n))
+    align = rx.block_align_u8()
+    total = (len(cap) // align) * align
+    cap = cap[:total]
+    full, _ = rx.run(cap, blocks_per_step=1)
+
+    import jax
+    state = rx.init_state()
+    step = jax.jit(rx.step)
+    pos, chunks = 0, []
+    while pos < total:
+        k = int(rng.integers(1, 7))
+        size = min(k * align, total - pos)
+        state, out = step(state, cap[pos: pos + size])
+        chunks.append(np.asarray(out["left"]))
+        pos += size
+    joined = np.concatenate(chunks)
+    ref = np.asarray(full["left"])[: len(joined)]
+    np.testing.assert_allclose(joined, ref, atol=2e-5)
