@@ -157,8 +157,16 @@ class Receiver:
                                          cfg.bp_taps)
             pilot_coeff = firdes.bandpass(if_fs, cfg.pilot_lo, cfg.pilot_hi,
                                           cfg.bp_taps)
-            self.channel_filter = _dec_filter(chan_coeff)
-            self.carrier_filter = _dec_filter(pilot_coeff)
+            if filter_engine == "direct":
+                # one conv, two output channels: channel + pilot BPFs share
+                # the input stream and tail (ops/resample.py MultiFIR)
+                from sdr_tpu.ops.resample import MultiFIR
+                self.stereo_bpf = MultiFIR([chan_coeff, pilot_coeff])
+                self.channel_filter = self.carrier_filter = None
+            else:
+                self.stereo_bpf = None
+                self.channel_filter = _dec_filter(chan_coeff)
+                self.carrier_filter = _dec_filter(pilot_coeff)
             if filter_engine == "fft" and cfg.audio_interp == 1:
                 self.stereo_audio_resampler = _dec_filter(audio_coeff,
                                                           cfg.audio_decim)
@@ -207,9 +215,15 @@ class Receiver:
         mono = MonoState(audio_tail=self.audio_resampler.init_state(batch_shape))
         stereo = None
         if self.stereo:
+            if self.stereo_bpf is not None:
+                ch_tail = self.stereo_bpf.init_state(batch_shape)
+                ca_tail = jnp.zeros(batch_shape + (0,), f32)
+            else:
+                ch_tail = self.channel_filter.init_state(batch_shape)
+                ca_tail = self.carrier_filter.init_state(batch_shape)
             stereo = StereoState(
-                channel_tail=self.channel_filter.init_state(batch_shape),
-                carrier_tail=self.carrier_filter.init_state(batch_shape),
+                channel_tail=ch_tail,
+                carrier_tail=ca_tail,
                 pll=pll_init(batch_shape),
                 mono_delay=jnp.zeros(batch_shape + (self.cfg.mono_delay,), f32),
                 stereo_audio_tail=self.stereo_audio_resampler.init_state(batch_shape),
@@ -295,8 +309,15 @@ class Receiver:
             # delayed mono against BPF group delay (src/project.cpp:152-159)
             mono_shift, mono_delay = delay_line(mono_audio, st.mono_delay)
             # L-R DSB extraction + pilot carrier recovery (project.cpp:162-166)
-            channel, channel_tail = self.channel_filter(fm_demod, st.channel_tail)
-            pilot, carrier_tail = self.carrier_filter(fm_demod, st.carrier_tail)
+            if self.stereo_bpf is not None:
+                (channel, pilot), channel_tail = self.stereo_bpf(
+                    fm_demod, st.channel_tail)
+                carrier_tail = st.carrier_tail
+            else:
+                channel, channel_tail = self.channel_filter(fm_demod,
+                                                            st.channel_tail)
+                pilot, carrier_tail = self.carrier_filter(fm_demod,
+                                                          st.carrier_tail)
             nco, pll_state = self._pll(pilot, st.pll, freq=cfg.pilot_freq,
                                        fs=cfg.if_fs, nco_scale=2.0,
                                        phase_adjust=self.stereo_phase_adjust,

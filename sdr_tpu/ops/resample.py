@@ -150,3 +150,47 @@ def resample_reference(x, state, coeff, up, down):
             k += up
     new_state = x[n_in - (taps - 1):] if taps > 1 else x[:0]
     return out, new_state
+
+
+class MultiFIR:
+    """k parallel plain FIRs over the SAME input in one conv (U=1, D=1).
+
+    The stereo path runs two 51-tap BPFs (channel 22-54 kHz, pilot
+    18.5-19.5 kHz) over the same demodulated IF stream with identical tail
+    semantics (reference src/project.cpp:162-165) — as separate convs the
+    input is read twice.  Stacking the filters as conv output channels
+    halves the reads; the carried tail (last taps-1 inputs) is shared.
+    All filters must have equal tap counts.
+    """
+
+    def __init__(self, coeffs: list[np.ndarray]):
+        taps = {len(c) for c in coeffs}
+        assert len(taps) == 1, "MultiFIR filters must share a tap count"
+        self.taps = taps.pop()
+        self.k = len(coeffs)
+        self.state_len = self.taps - 1
+        rhs = np.stack([np.asarray(c, np.float32)[::-1] for c in coeffs])
+        self._rhs = jnp.asarray(rhs[:, None, :])  # (k, 1, taps)
+
+    def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
+        return jnp.zeros(batch_shape + (self.state_len,), dtype=jnp.float32)
+
+    def __call__(self, x: jax.Array, tail: jax.Array):
+        """x (..., N), tail (..., taps-1) -> (list of k outputs, new_tail)."""
+        return _multi_fir_apply(self._rhs, self.state_len, x, tail)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _multi_fir_apply(rhs, state_len, x, tail):
+    *lead, n = x.shape
+    xp = jnp.concatenate([tail, x], axis=-1)
+    batch = int(np.prod(lead)) if lead else 1
+    lhs = xp.reshape(batch, 1, xp.shape[-1])
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # (batch, k, n)
+    outs = [out[:, i, :].reshape(*lead, n) for i in range(rhs.shape[0])]
+    new_tail = x[..., n - state_len:]
+    return outs, new_tail
