@@ -79,7 +79,8 @@ class Receiver:
                  fused_frontend: bool | str = False,
                  filter_engine: str = "direct",
                  stereo_phase_adjust: float = 0.0,
-                 compat_pll: bool = False):
+                 compat_pll: bool = False,
+                 deemphasis_us: float | None = None):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -121,6 +122,12 @@ class Receiver:
         self.compat_pll = compat_pll
         if compat_pll:
             self.pll_wrap_phase = False
+        # optional FM de-emphasis (75 us Americas / 50 us Europe) applied to
+        # the audio outputs; the reference omits it (production extension)
+        self.deemph_alpha = None
+        if deemphasis_us is not None:
+            from sdr_tpu.ops.iir import deemphasis_alpha
+            self.deemph_alpha = deemphasis_alpha(cfg.audio_fs, deemphasis_us)
 
         def _dec_filter(coeff, down=1):
             """Decimating FIR in the selected engine (U=1 stages only)."""
@@ -212,7 +219,8 @@ class Receiver:
                 prev_i=jnp.zeros(batch_shape, f32),
                 prev_q=jnp.zeros(batch_shape, f32),
             )
-        mono = MonoState(audio_tail=self.audio_resampler.init_state(batch_shape))
+        mono = MonoState(audio_tail=self.audio_resampler.init_state(batch_shape),
+                         deemph=jnp.zeros(batch_shape, f32))
         stereo = None
         if self.stereo:
             if self.stereo_bpf is not None:
@@ -227,6 +235,8 @@ class Receiver:
                 pll=pll_init(batch_shape),
                 mono_delay=jnp.zeros(batch_shape + (self.cfg.mono_delay,), f32),
                 stereo_audio_tail=self.stereo_audio_resampler.init_state(batch_shape),
+                deemph_l=jnp.zeros(batch_shape, f32),
+                deemph_r=jnp.zeros(batch_shape, f32),
             )
         rds = None
         if self.rds:
@@ -301,7 +311,14 @@ class Receiver:
         with jax.named_scope("mono_path"):
             mono_audio, audio_tail = self.audio_resampler(fm_demod,
                                                           state.mono.audio_tail)
-        outputs["mono"] = mono_audio
+        deemph_state = state.mono.deemph
+        if self.deemph_alpha is not None and not self.stereo:
+            from sdr_tpu.ops.iir import first_order_iir
+            mono_out, deemph_state = first_order_iir(
+                mono_audio, deemph_state, alpha=self.deemph_alpha)
+            outputs["mono"] = mono_out
+        else:
+            outputs["mono"] = mono_audio
 
         stereo_state = state.stereo
         if self.stereo:
@@ -331,12 +348,20 @@ class Receiver:
                 stereo_audio, stereo_audio_tail = self.stereo_audio_resampler(
                     mixed, st.stereo_audio_tail)
             left, right = lr_matrix(mono_shift, stereo_audio)  # project.cpp:175
+            deemph_l, deemph_r = st.deemph_l, st.deemph_r
+            if self.deemph_alpha is not None:
+                from sdr_tpu.ops.iir import first_order_iir
+                left, deemph_l = first_order_iir(left, deemph_l,
+                                                 alpha=self.deemph_alpha)
+                right, deemph_r = first_order_iir(right, deemph_r,
+                                                  alpha=self.deemph_alpha)
             outputs["left"] = left
             outputs["right"] = right
             stereo_state = StereoState(channel_tail, carrier_tail, pll_state,
-                                       mono_delay, stereo_audio_tail)
+                                       mono_delay, stereo_audio_tail,
+                                       deemph_l, deemph_r)
 
-        mono_state = MonoState(audio_tail=audio_tail)
+        mono_state = MonoState(audio_tail=audio_tail, deemph=deemph_state)
 
         rds_state = state.rds
         if self.rds:

@@ -31,8 +31,9 @@ class FrontEndState(NamedTuple):
 
 
 class MonoState(NamedTuple):
-    """Mono path: IF->audio resampler tail."""
+    """Mono path: IF->audio resampler tail + de-emphasis IIR carry."""
     audio_tail: jax.Array
+    deemph: jax.Array
 
 
 class StereoState(NamedTuple):
@@ -44,6 +45,8 @@ class StereoState(NamedTuple):
     pll: PLLState
     mono_delay: jax.Array
     stereo_audio_tail: jax.Array
+    deemph_l: jax.Array
+    deemph_r: jax.Array
 
 
 class RdsState(NamedTuple):

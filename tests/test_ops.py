@@ -256,3 +256,16 @@ def test_pll_chunked_block_continuity():
     np.testing.assert_allclose(np.asarray(full),
                                np.concatenate([np.asarray(a), np.asarray(b)]),
                                atol=1e-3)
+
+
+def test_first_order_iir_matches_scipy(rng):
+    """associative-scan IIR == scipy lfilter, including block streaming."""
+    from sdr_tpu.ops.iir import deemphasis_alpha, first_order_iir
+    alpha = deemphasis_alpha(48000.0, 75.0)
+    x = rng.standard_normal(1000).astype(np.float32)
+    ref = sps.lfilter([alpha], [1.0, -(1.0 - alpha)], x)
+    y1, carry = first_order_iir(jnp.asarray(x[:500]), jnp.float32(0.0),
+                                alpha=alpha)
+    y2, _ = first_order_iir(jnp.asarray(x[500:]), carry, alpha=alpha)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -415,3 +415,24 @@ def test_random_block_split_invariance(rng):
     joined = np.concatenate(chunks)
     ref = np.asarray(full["left"])[: len(joined)]
     np.testing.assert_allclose(joined, ref, atol=2e-5)
+
+
+def test_deemphasis_attenuates_treble():
+    """75 us de-emphasis: ~unity at 100 Hz, strong cut at 10 kHz
+    (|H| = 1/sqrt(1+(2*pi*f*tau)^2) -> ~ -13.5 dB at 10 kHz)."""
+    from sdr_tpu.utils.compare import band_power_db
+    cfg = MODES[0]
+    n = int(0.3 * cfg.rf_fs)
+    mono = (tx.tone(cfg.rf_fs, 200.0, n) + tx.tone(cfg.rf_fs, 10000.0, n)) / 2
+    cap = tx.synthesize_capture(cfg, seconds=0.3, mono=mono)
+    flat, _ = Receiver(0).run(cap)
+    de, _ = Receiver(0, deemphasis_us=75.0).run(cap)
+    skip = cfg.audio_fs // 10
+    a_flat = np.asarray(flat["mono"])
+    a_de = np.asarray(de["mono"])
+    drop_lo = (band_power_db(a_flat, cfg.audio_fs, 200.0, skip=skip)
+               - band_power_db(a_de, cfg.audio_fs, 200.0, skip=skip))
+    drop_hi = (band_power_db(a_flat, cfg.audio_fs, 10000.0, skip=skip)
+               - band_power_db(a_de, cfg.audio_fs, 10000.0, skip=skip))
+    assert drop_lo < 3.0, f"low band dropped {drop_lo:.1f} dB"
+    assert 9.0 < drop_hi < 18.0, f"10 kHz dropped {drop_hi:.1f} dB"
