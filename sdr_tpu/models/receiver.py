@@ -290,6 +290,22 @@ class Receiver:
                 # RF front end (reference rf_thread, src/project.cpp:48-69)
                 i_ds, i_tail = self.rf_resampler(i_raw, state.front.i_tail)
                 q_ds, q_tail = self.rf_resampler(q_raw, state.front.q_tail)
+        return self._finish_step(state, i_ds, q_ds, i_tail, q_tail)
+
+    def step_iq(self, state: ReceiverState, i_raw: jax.Array,
+                q_raw: jax.Array
+                ) -> tuple[ReceiverState, dict[str, jax.Array]]:
+        """Like step() but on already-decoded float I/Q at the RF rate —
+        the entry point for channelized wideband front-ends
+        (ops/channelizer.py), which deliver complex baseband directly."""
+        with jax.named_scope("rf_frontend"):
+            i_ds, i_tail = self.rf_resampler(i_raw, state.front.i_tail)
+            q_ds, q_tail = self.rf_resampler(q_raw, state.front.q_tail)
+        return self._finish_step(state, i_ds, q_ds, i_tail, q_tail)
+
+    def _finish_step(self, state, i_ds, q_ds, i_tail, q_tail):
+        cfg = self.cfg
+        with jax.named_scope("demod"):
             if self.demod == "arctan":
                 # prev_i slot carries the phase; prev_q is unused
                 fm_demod, prev_phase = fm_arctan(i_ds, q_ds,

@@ -1,0 +1,85 @@
+"""Wideband channelizer: one wide capture -> N stations -> batched receivers.
+
+Beyond-reference capability test: synthesize two FM stations at offsets in a
+9.6 MS/s wideband stream, channelize on-accelerator, decode both through
+`Receiver.step_iq`, and verify each station's program audio.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.config import MODES
+from sdr_tpu.models.receiver import Receiver
+from sdr_tpu.ops.channelizer import WidebandChannelizer, synthesize_wideband
+from sdr_tpu import tx
+from sdr_tpu.utils.compare import tone_snr_db
+
+
+def test_two_station_wideband_decode():
+    cfg = MODES[0]
+    fs_st = float(cfg.rf_fs)
+    fs_wide = 4 * fs_st
+    freqs = [-1.5e6, +1.8e6]
+    tones = [900.0, 1700.0]
+    secs = 0.15
+    n = int(secs * fs_st)
+
+    stations = []
+    for k, tone_f in enumerate(tones):
+        mono = tx.tone(fs_st, tone_f, n)
+        m = tx.make_multiplex(fs_st, n, mono=mono)
+        i, q = tx.fm_modulate(m, fs_st)
+        stations.append((i + 1j * q) * 0.5)
+    iw, qw = synthesize_wideband(stations, freqs, fs_st, fs_wide)
+
+    chan = WidebandChannelizer(fs_wide, fs_st, freqs)
+    rx = Receiver(0)
+    cstate = chan.init_state()
+    rstate = rx.init_state((len(freqs),))
+    step_iq = jax.jit(rx.step_iq)
+
+    block_wide = cfg.block_size_u8 // 2 * chan.decim  # one rx block per step
+    audio = []
+    nblocks = len(iw) // block_wide
+    for b in range(nblocks):
+        sl = slice(b * block_wide, (b + 1) * block_wide)
+        (i_st, q_st), cstate = chan(jnp.asarray(iw[sl]), jnp.asarray(qw[sl]),
+                                    cstate)
+        rstate, out = step_iq(rstate, i_st, q_st)
+        audio.append(np.asarray(out["mono"]))
+    audio = np.concatenate(audio, axis=-1)
+
+    assert audio.shape[0] == 2
+    for k, tone_f in enumerate(tones):
+        snr = tone_snr_db(audio[k], cfg.audio_fs, tone_f,
+                          skip=cfg.audio_fs // 10)
+        assert snr > 20.0, f"station {k} ({tone_f} Hz): SNR {snr:.1f} dB"
+
+
+def test_channelizer_block_continuity():
+    """Oscillator phase and filter tails carry exactly across blocks."""
+    fs_wide, fs_out = 9.6e6, 2.4e6
+    chan = WidebandChannelizer(fs_wide, fs_out, [1.0e6])
+    rng = np.random.default_rng(0)
+    n = 40000
+    iw = rng.standard_normal(n).astype(np.float32)
+    qw = rng.standard_normal(n).astype(np.float32)
+    (i_full, q_full), _ = chan(jnp.asarray(iw), jnp.asarray(qw),
+                               chan.init_state())
+    st = chan.init_state()
+    (i1, q1), st = chan(jnp.asarray(iw[: n // 2]), jnp.asarray(qw[: n // 2]), st)
+    (i2, q2), _ = chan(jnp.asarray(iw[n // 2:]), jnp.asarray(qw[n // 2:]), st)
+    np.testing.assert_allclose(
+        np.asarray(i_full), np.concatenate([np.asarray(i1), np.asarray(i2)],
+                                           axis=-1), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(q_full), np.concatenate([np.asarray(q1), np.asarray(q2)],
+                                           axis=-1), atol=2e-4)
+
+
+def test_channelizer_rejects_nonintegral_ratio():
+    with pytest.raises(AssertionError):
+        WidebandChannelizer(10e6, 2.4e6, [0.0])
