@@ -80,7 +80,8 @@ class Receiver:
                  filter_engine: str = "direct",
                  stereo_phase_adjust: float = 0.0,
                  compat_pll: bool = False,
-                 deemphasis_us: float | None = None):
+                 deemphasis_us: float | None = None,
+                 emit_rssi: bool = False):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -91,6 +92,9 @@ class Receiver:
         self.pll_wrap_phase = pll_wrap_phase
         self.rds_pll_bandwidth = rds_pll_bandwidth
         self.emit_if = emit_if
+        # per-block RSSI (dBFS of the channelized IF envelope) for signal
+        # metering / squelch decisions
+        self.emit_rssi = emit_rssi
         if pll_impl == "auto":
             # 'scan' is the bit-level-faithful engine and the default.
             # 'chunked' (ops/pll.py pll_chunked) vectorizes the phase
@@ -318,6 +322,9 @@ class Receiver:
                 front = FrontEndState(i_tail, q_tail, prev_i, prev_q)
 
         outputs: dict[str, jax.Array] = {}
+        if self.emit_rssi:
+            power = jnp.mean(i_ds * i_ds + q_ds * q_ds, axis=-1)
+            outputs["rssi_db"] = 10.0 * jnp.log10(power + 1e-12)
         if self.emit_if:
             # demodulated-IF tap for PSD dumps / fm_demod_*.bin-style
             # cross-checks (reference model/fmMonoBlock.py:277-280)
@@ -467,7 +474,12 @@ class Receiver:
             return self.step(st, blk)
 
         final_state, outs = jax.lax.scan(scan_fn, state, trimmed, unroll=unroll)
-        # (nblocks, ..., per_block) -> (..., nblocks*per_block)
-        outputs = {k: jnp.moveaxis(v, 0, -2).reshape(*lead, -1)
-                   for k, v in outs.items()}
+        # (nblocks, ..., per_block) -> (..., nblocks*per_block); per-step
+        # scalars (e.g. rssi_db) just move their block axis to the end
+        outputs = {}
+        for k, v in outs.items():
+            if v.ndim == len(lead) + 1:
+                outputs[k] = jnp.moveaxis(v, 0, -1) if lead else v
+            else:
+                outputs[k] = jnp.moveaxis(v, 0, -2).reshape(*lead, -1)
         return outputs, final_state

@@ -436,3 +436,19 @@ def test_deemphasis_attenuates_treble():
                - band_power_db(a_de, cfg.audio_fs, 10000.0, skip=skip))
     assert drop_lo < 3.0, f"low band dropped {drop_lo:.1f} dB"
     assert 9.0 < drop_hi < 18.0, f"10 kHz dropped {drop_hi:.1f} dB"
+
+
+def test_rssi_metering():
+    """emit_rssi reports the channelized envelope power: a strong capture
+    reads near 0 dBFS, an attenuated one ~20 dB lower."""
+    cfg = MODES[0]
+    n = int(0.05 * cfg.rf_fs)
+    mono = tx.tone(cfg.rf_fs, 1000.0, n)
+    strong = tx.synthesize_capture(cfg, seconds=0.05, mono=mono, amplitude=0.9)
+    weak = tx.synthesize_capture(cfg, seconds=0.05, mono=mono, amplitude=0.09)
+    rx = Receiver(0, emit_rssi=True)
+    o_s, _ = rx.run(strong)
+    o_w, _ = rx.run(weak)
+    rssi_s = float(np.mean(np.asarray(o_s["rssi_db"])))
+    rssi_w = float(np.mean(np.asarray(o_w["rssi_db"])))
+    assert 15.0 < rssi_s - rssi_w < 25.0, (rssi_s, rssi_w)
