@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wav-dir", default=None,
                    help="output directory for per-station WAVs "
                         "(station<i>.wav)")
+    p.add_argument("--wideband", type=float, default=None, metavar="FS",
+                   help="treat --in as a float32 interleaved complex "
+                        "wideband capture at FS samples/s; channelize the "
+                        "stations given by --freqs on-accelerator")
+    p.add_argument("--freqs", default=None,
+                   help="comma-separated station offsets in Hz for "
+                        "--wideband (e.g. -1500000,0,1800000)")
     return p
 
 
@@ -81,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
     stereo = args.channels == 2
     rds = args.rds and cfg.rds_sps is not None
 
+    if args.wideband:
+        return _run_wideband(args, cfg, stereo, rds)
     if args.stations:
         return _run_stations(args, cfg, stereo, rds)
     print(f"Operating in mode {args.mode}, "
@@ -161,6 +170,73 @@ def main(argv: list[str] | None = None) -> int:
               f"PS={info.ps_name!r} RT={info.radio_text.rstrip()!r} "
               f"({info.groups_seen} groups)"
               if info.pi is not None else "RDS: no sync", file=sys.stderr)
+    return 0
+
+
+def _run_wideband(args, cfg, stereo, rds):
+    """Channelize a wideband f32 complex capture into N stations and decode
+    them all in one batched program (ops/channelizer.py + Receiver.step_iq)."""
+    import os
+    import sys as _sys
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu.ops.channelizer import WidebandChannelizer
+    from sdr_tpu.io import wav as wavio
+
+    if not args.freqs or not args.wav_dir:
+        print("--wideband requires --freqs and --wav-dir", file=_sys.stderr)
+        return 1
+    freqs = [float(f) for f in args.freqs.split(",") if f]
+    fs_wide = args.wideband
+    raw = np.fromfile(args.infile, dtype="<f4")
+    iw, qw = np.ascontiguousarray(raw[0::2]), np.ascontiguousarray(raw[1::2])
+    chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs)
+    fast = dict(fused_frontend=False,
+                pll_impl="chunked" if args.fast else "auto")
+    rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
+    print(f"Channelizing {len(freqs)} stations from {fs_wide/1e6:.1f} MS/s "
+          f"wideband ({len(iw)/fs_wide:.2f} s)", file=_sys.stderr)
+
+    # per-station block sizing honors all alignments (incl. RDS symbols)
+    station_pairs = rx.block_size_u8(args.blocks_per_step) // 2
+    block_wide = station_pairs * chan.decim
+    cstate = chan.init_state()
+    rstate = rx.init_state((len(freqs),))
+    step_iq = jax.jit(rx.step_iq)
+    audio, rds_soft = [], []
+    for b in range(len(iw) // block_wide):
+        sl = slice(b * block_wide, (b + 1) * block_wide)
+        (i_st, q_st), cstate = chan(jnp.asarray(iw[sl]), jnp.asarray(qw[sl]),
+                                    cstate)
+        rstate, out = step_iq(rstate, i_st, q_st)
+        if stereo:
+            audio.append(np.stack([np.asarray(out["left"]),
+                                   np.asarray(out["right"])], axis=-1))
+        else:
+            audio.append(np.asarray(out["mono"]))
+        if "rds_soft" in out:
+            rds_soft.append(np.asarray(out["rds_soft"]))
+    if not audio:
+        print("capture shorter than one block", file=_sys.stderr)
+        return 1
+    full = np.concatenate(audio, axis=1)
+    os.makedirs(args.wav_dir, exist_ok=True)
+    for i, f in enumerate(freqs):
+        pcm = np.clip(np.nan_to_num(full[i]) * 16384.0, -32768, 32767
+                      ).astype(np.int16)
+        dst = os.path.join(args.wav_dir, f"station{i}.wav")
+        wavio.write_wav(dst, cfg.audio_fs, pcm)
+        print(f"  {f/1e6:+.2f} MHz -> {dst}", file=_sys.stderr)
+    if rds and rds_soft:
+        from sdr_tpu.rds import decode_rds_soft
+        soft = np.concatenate(rds_soft, axis=-1)
+        for i, f in enumerate(freqs):
+            info = decode_rds_soft(soft[i], cfg.rds_sps)
+            msg = (f"PI={info.pi:#06x} PS={info.ps_name!r}"
+                   if info.pi is not None else "no sync")
+            print(f"  {f/1e6:+.2f} MHz RDS: {msg}", file=_sys.stderr)
     return 0
 
 

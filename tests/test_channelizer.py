@@ -83,3 +83,42 @@ def test_channelizer_block_continuity():
 def test_channelizer_rejects_nonintegral_ratio():
     with pytest.raises(AssertionError):
         WidebandChannelizer(10e6, 2.4e6, [0.0])
+
+
+def test_cli_wideband_mode(tmp_path):
+    """End-to-end wideband CLI: f32 complex capture -> station WAVs + RDS."""
+    import os
+    from sdr_tpu.cli import main
+    from sdr_tpu.io.wav import read_wav
+    from sdr_tpu.rds import tx as rds_tx
+
+    cfg = MODES[0]
+    fs_st = float(cfg.rf_fs)
+    fs_wide = 4 * fs_st
+    freqs = [-1.2e6, 1.5e6]
+    secs = 0.6
+    n = int(secs * fs_st)
+    stations = []
+    for k in range(2):
+        bits = rds_tx.standard_group_stream(pi=0x2000 + k, n_groups=8)
+        rds_bb = rds_tx.bits_to_baseband(bits, fs_st)[:n]
+        mono = tx.tone(fs_st, 800.0 + 500.0 * k, n)
+        m = tx.make_multiplex(fs_st, n, mono=mono, rds_baseband=rds_bb,
+                              a_rds=0.1)
+        i, q = tx.fm_modulate(m, fs_st)
+        stations.append((i + 1j * q) * 0.5)
+    iw, qw = synthesize_wideband(stations, freqs, fs_st, fs_wide)
+    wide = np.empty(2 * len(iw), np.float32)
+    wide[0::2], wide[1::2] = iw, qw
+    inp = str(tmp_path / "wide.cf32")
+    wide.tofile(inp)
+    wav_dir = str(tmp_path / "wavs")
+    rc = main(["0", "1", "--rds", "--wideband", str(fs_wide),
+               "--freqs=" + ",".join(str(f) for f in freqs),
+               "--in", inp, "--wav-dir", wav_dir, "--blocks-per-step", "4"])
+    assert rc == 0
+    for k in range(2):
+        rate, data = read_wav(os.path.join(wav_dir, f"station{k}.wav"))
+        snr = tone_snr_db(data.astype(np.float64), rate, 800.0 + 500.0 * k,
+                          skip=2000)
+        assert snr > 18.0, f"station {k}: {snr:.1f} dB"
