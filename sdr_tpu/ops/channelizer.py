@@ -5,15 +5,29 @@ station; a production TPU deployment captures a whole band segment at a
 wideband rate and derives every station from it.  BASELINE's "64+
 simultaneous FM channels" then needs only ONE front-end stream per antenna.
 
-TPU-first design: for K stations the digital downconversion is one batched
-complex rotate — x (N,) broadcast against per-station oscillator phasors
-(K, N) — followed by the framework's own polyphase decimating filter on the
-real/imag rails (K-way batch dim), landing each station at the receiver's
-RF rate (e.g. 2.4 MS/s) as float I/Q that feeds `Receiver.step_iq`.  The
-oscillator phase carries across blocks per station, so block streaming is
-exact.
+Two engines, mathematically identical (selected via ``engine=``):
 
-All rates integer; fs_wide must be an integer multiple of fs_out.
+``"mfb"`` (default) — *modulated filter bank*.  Fold the per-station mix
+into the filter: with oscillator theta(n) = phi0 + dphi*(n+1) and LPF h,
+
+    y[u] = sum_k h[k] * x[uD-k] * e^{j theta(uD-k)}
+         = e^{j theta(uD)} * sum_k (h[k] e^{-j dphi k}) * x[uD-k]
+
+so each station becomes a *complex band-pass* filter h~[k] = h[k]e^{-j dphi k}
+applied directly to the raw wideband stream, decimated in the same pass.
+The whole bank is ONE strided convolution with 2 input rails (I, Q) and 2K
+output channels — a (2*taps x 2K) constant matrix hitting the MXU — and the
+only remaining oscillator work is a residual rotation at the *output* rate
+(1/D of the wideband rate).  No K x N wideband intermediates exist at all;
+the input block is read exactly once.
+
+``"mix"`` — the v1 reference formulation: batched per-station wideband
+complex rotate (K, N) followed by the framework's polyphase decimating LPF
+on each rail.  Kept as the cross-check oracle for the mfb engine.
+
+Both carry oscillator phase and a filter tail across blocks, so block
+streaming is exact.  All rates integer; fs_wide must be an integer multiple
+of fs_out.
 """
 
 from __future__ import annotations
@@ -38,40 +52,83 @@ class WidebandChannelizer:
         capture center) for each station.
       cutoff: anti-alias LPF cutoff (default 100 kHz, the FM channel).
       taps: LPF taps at the wideband rate.
+      engine: "mfb" (modulated filter bank, default) or "mix" (v1 oracle).
     """
 
     def __init__(self, fs_wide: float, fs_out: float,
                  station_freqs: list[float], *, cutoff: float = 100e3,
-                 taps: int = 101):
+                 taps: int = 101, engine: str = "mfb"):
         decim = fs_wide / fs_out
         assert abs(decim - round(decim)) < 1e-9, (
             f"fs_wide/fs_out = {decim} must be integral")
+        assert engine in ("mfb", "mix"), engine
         self.decim = int(round(decim))
         self.fs_wide = float(fs_wide)
         self.fs_out = float(fs_out)
         self.freqs = np.asarray(station_freqs, np.float64)
         self.k = len(station_freqs)
+        self.engine = engine
+        self.taps = int(taps)
         coeff = lowpass(fs_wide, cutoff, taps, 1)
-        self._lpf_i = PolyphaseResampler(coeff, 1, self.decim)
-        self._lpf_q = PolyphaseResampler(coeff, 1, self.decim)
         # per-station phase increment per wideband sample (float64 host-side;
-        # the per-block ramp is reduced mod 2*pi in f64 before casting, so
-        # long blocks don't hit f32's ~0.008 rad resolution at 1e5 rad)
+        # per-block ramps are reduced mod 2*pi in f64 before casting, so long
+        # blocks don't hit f32's ~0.008 rad resolution at 1e5 rad)
         self._dphi = (-2.0 * np.pi * self.freqs / fs_wide) % (2.0 * np.pi)
-        self._ramp_cache: dict[int, jax.Array] = {}
+        self._ramp_cache: dict = {}
+        if engine == "mix":
+            self._lpf_i = PolyphaseResampler(coeff, 1, self.decim)
+            self._lpf_q = PolyphaseResampler(coeff, 1, self.decim)
+        else:
+            self._rhs = jnp.asarray(
+                _modulated_bank(np.asarray(coeff, np.float64), self._dphi))
+            self.state_len = self.taps - 1
 
-    def _ramp(self, n: int) -> jax.Array:
-        if n not in self._ramp_cache:
-            t = np.arange(1, n + 1, dtype=np.float64)
-            ramp = (self._dphi[:, None] * t[None, :]) % (2.0 * np.pi)
-            self._ramp_cache[n] = jnp.asarray(ramp, jnp.float32)
-        return self._ramp_cache[n]
+    def _phase_tables(self, n: int, stride: int):
+        """Factored oscillator ramp for n samples taken every `stride`
+        wideband samples: theta[k, i] = dphi_k*(i*stride + 1) mod 2pi.
+
+        A flat (K, n) table would be embedded as an HLO constant whenever a
+        caller wraps the channelizer in its own jit/scan (tens of MB for
+        production block sizes), so the ramp is factored as an outer sum of
+        two small host-f64-exact tables with i = a*C + b:
+            row[k, a]  = dphi_k * (C*stride*a)   mod 2pi      (K, n/C)
+            base[k, b] = dphi_k * (b*stride + 1) mod 2pi      (K, C)
+        composed on device (sum of three in-[0,2pi) f32 terms, one mod).
+        Also returns the (K,) per-block phase advance dphi_k*n*stride mod 2pi.
+        """
+        key = (n, stride)
+        if key not in self._ramp_cache:
+            c = n
+            for cand in range(min(n, 4096), 0, -1):
+                if n % cand == 0:
+                    c = cand
+                    break
+            a = n // c
+            row = (self._dphi[:, None]
+                   * (np.arange(a, dtype=np.float64) * (c * stride))[None, :]
+                   ) % (2.0 * np.pi)
+            base = (self._dphi[:, None]
+                    * (np.arange(c, dtype=np.float64) * stride + 1.0)[None, :]
+                    ) % (2.0 * np.pi)
+            adv = (self._dphi * (n * stride)) % (2.0 * np.pi)
+            j = lambda x: jnp.asarray(x, jnp.float32)
+            self._ramp_cache[key] = (
+                (j(np.cos(row)), j(np.sin(row))),
+                (j(np.cos(base)), j(np.sin(base))),
+                j(adv))
+        return self._ramp_cache[key]
 
     def init_state(self):
+        if self.engine == "mix":
+            return {
+                "phase": jnp.zeros((self.k,), jnp.float32),
+                "i_tail": self._lpf_i.init_state((self.k,)),
+                "q_tail": self._lpf_q.init_state((self.k,)),
+            }
         return {
             "phase": jnp.zeros((self.k,), jnp.float32),
-            "i_tail": self._lpf_i.init_state((self.k,)),
-            "q_tail": self._lpf_q.init_state((self.k,)),
+            "i_tail": jnp.zeros((self.state_len,), jnp.float32),
+            "q_tail": jnp.zeros((self.state_len,), jnp.float32),
         }
 
     def __call__(self, i_wide: jax.Array, q_wide: jax.Array, state):
@@ -79,20 +136,89 @@ class WidebandChannelizer:
 
         Returns ((i_out, q_out), new_state).
         """
-        return _channelize(self._ramp(i_wide.shape[-1]), self._lpf_i._rhs,
-                           self._lpf_q._rhs, self.decim,
-                           self._lpf_i.state_len, self._lpf_i.L,
-                           i_wide, q_wide, state)
+        if self.engine == "mix":
+            row, base, adv = self._phase_tables(i_wide.shape[-1], 1)
+            return _channelize(row, base, adv, self._lpf_i._rhs,
+                               self._lpf_q._rhs, self.decim,
+                               self._lpf_i.state_len, self._lpf_i.L,
+                               i_wide, q_wide, state)
+        row, base, adv = self._phase_tables(i_wide.shape[-1] // self.decim,
+                                            self.decim)
+        return _channelize_mfb(self._rhs, row, base, adv, self.decim,
+                               self.state_len, i_wide, q_wide, state)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _channelize(ramp, rhs_i, rhs_q, decim, state_len, L, i_wide, q_wide,
-                state):
-    # batched oscillator: theta[k, t] = phase_k + (dphi_k * (t+1) mod 2pi)
-    theta = jnp.mod(state["phase"][:, None] + ramp,
-                    jnp.float32(2.0 * np.pi))
-    cos_t = jnp.cos(theta)
-    sin_t = jnp.sin(theta)
+def _modulated_bank(coeff: np.ndarray, dphi: np.ndarray) -> np.ndarray:
+    """(2K, 2, taps) conv rhs of complex band-pass filters, f64 -> f32.
+
+    Station k's filter is h~[t] = h[t] * e^{-j dphi_k t}.  Conv channel
+    layout (OIH, correlation over xp = tail ++ x so rhs index l maps to
+    filter tap taps-1-l):
+      out 2k   (real): in0 (I) = Re h~ reversed, in1 (Q) = -Im h~ reversed
+      out 2k+1 (imag): in0 (I) = Im h~ reversed, in1 (Q) =  Re h~ reversed
+    """
+    taps = len(coeff)
+    k = len(dphi)
+    t = np.arange(taps, dtype=np.float64)
+    ang = (dphi[:, None] * t[None, :]) % (2.0 * np.pi)    # (K, taps)
+    hr = coeff[None, :] * np.cos(ang)
+    hi = coeff[None, :] * -np.sin(ang)
+    rhs = np.empty((2 * k, 2, taps), np.float32)
+    rhs[0::2, 0, :] = hr[:, ::-1]
+    rhs[0::2, 1, :] = -hi[:, ::-1]
+    rhs[1::2, 0, :] = hi[:, ::-1]
+    rhs[1::2, 1, :] = hr[:, ::-1]
+    return rhs
+
+
+def _compose_phasor(phase, row, base):
+    """(cos, sin) of theta[k, i] = phase_k + row_[k,a] + base_[k,b] with
+    i = a*C + b, WITHOUT per-element trig: the phasor e^{j theta} is the
+    complex product of e^{j phase} (K on-device trig calls) with two small
+    host-f64-exact phasor tables (K, A) x (K, C) — a pure mul/add outer
+    product, which is what the VPU is fast at (per-element cos/sin on
+    K*A*C elements dominated the whole channelizer otherwise)."""
+    (rr, ri), (br, bi) = row, base
+    k, a = rr.shape
+    c = br.shape[1]
+    er = (rr[:, :, None] * br[:, None, :]
+          - ri[:, :, None] * bi[:, None, :]).reshape(k, a * c)
+    ei = (rr[:, :, None] * bi[:, None, :]
+          + ri[:, :, None] * br[:, None, :]).reshape(k, a * c)
+    pr, pi = jnp.cos(phase)[:, None], jnp.sin(phase)[:, None]
+    return pr * er - pi * ei, pr * ei + pi * er
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _channelize_mfb(rhs, row, base, adv, decim, state_len,
+                    i_wide, q_wide, state):
+    n = i_wide.shape[-1]
+    assert n % decim == 0, f"block length {n} must be divisible by D={decim}"
+    assert n >= state_len, f"block length {n} < state length {state_len}"
+    xp = jnp.stack([jnp.concatenate([state["i_tail"], i_wide]),
+                    jnp.concatenate([state["q_tail"], q_wide])])  # (2, S+N)
+    out = jax.lax.conv_general_dilated(
+        xp[None], rhs, window_strides=(decim,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[0]                                                  # (2K, N/D)
+    c_r, c_i = out[0::2], out[1::2]
+    cos_t, sin_t = _compose_phasor(state["phase"], row, base)
+    i_out = c_r * cos_t - c_i * sin_t
+    q_out = c_r * sin_t + c_i * cos_t
+    new_state = {
+        "phase": jnp.mod(state["phase"] + adv, jnp.float32(2.0 * np.pi)),
+        "i_tail": i_wide[n - state_len:],
+        "q_tail": q_wide[n - state_len:],
+    }
+    return (i_out, q_out), new_state
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _channelize(row, base, adv, rhs_i, rhs_q, decim, state_len, L,
+                i_wide, q_wide, state):
+    # batched oscillator: theta[k, t] = phase_k + dphi_k*(t+1), as phasors
+    cos_t, sin_t = _compose_phasor(state["phase"], row, base)
     x_i = i_wide[None, :]
     x_q = q_wide[None, :]
     # complex multiply (x_i + j x_q) * (cos + j sin)  [sin already signed
@@ -104,7 +230,9 @@ def _channelize(ramp, rhs_i, rhs_q, decim, state_len, L, i_wide, q_wide,
                                     state["i_tail"])
     q_out, q_tail = _resample_apply(rhs_q, 1, decim, state_len, L, mix_q,
                                     state["q_tail"])
-    new_state = {"phase": theta[:, -1], "i_tail": i_tail, "q_tail": q_tail}
+    new_state = {"phase": jnp.mod(state["phase"] + adv,
+                                  jnp.float32(2.0 * np.pi)),
+                 "i_tail": i_tail, "q_tail": q_tail}
     return (i_out, q_out), new_state
 
 
