@@ -98,10 +98,12 @@ def main() -> int:
         print(f"mono  128ch exact f32: {msps_f32:9.1f} IQ MS/s/chip",
               file=sys.stderr)
     if time_left():
-        msps_stc = _bench_scan(Receiver(0, stereo=True, pll_impl="chunked"),
+        msps_stc = _bench_scan(Receiver(0, stereo=True, rds=True,
+                                        fused_frontend="bf16",
+                                        pll_impl="chunked", pll_chunk=32),
                                128, 25, 8)
-        print(f"stereo 128ch (chunked PLL): {msps_stc:5.1f} IQ MS/s/chip",
-              file=sys.stderr)
+        print(f"stereo+RDS 128ch (fused bf16, chunked-32 PLL): "
+              f"{msps_stc:5.1f} IQ MS/s/chip", file=sys.stderr)
     if time_left():
         h2d = _bench_h2d()
         print(f"H2D bandwidth (dev-box tunnel): {h2d:.1f} MB/s",

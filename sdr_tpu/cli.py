@@ -96,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
           f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
           file=sys.stderr)
 
-    fast = dict(fused_frontend="bf16", pll_impl="chunked") if args.fast else {}
+    fast = (dict(fused_frontend="bf16", pll_impl="chunked", pll_chunk=32)
+            if args.fast else {})
     rx = Receiver(args.mode, stereo=stereo, rds=rds,
                   emit_if=args.psd_dump is not None, **fast)
     state = rx.init_state()
@@ -194,7 +195,8 @@ def _run_wideband(args, cfg, stereo, rds):
     iw, qw = np.ascontiguousarray(raw[0::2]), np.ascontiguousarray(raw[1::2])
     chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs)
     fast = dict(fused_frontend=False,
-                pll_impl="chunked" if args.fast else "auto")
+                pll_impl="chunked" if args.fast else "auto",
+                pll_chunk=32)
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     print(f"Channelizing {len(freqs)} stations from {fs_wide/1e6:.1f} MS/s "
           f"wideband ({len(iw)/fs_wide:.2f} s)", file=_sys.stderr)
@@ -264,7 +266,8 @@ def _run_stations(args, cfg, stereo, rds):
     print(f"Decoding {len(paths)} stations x {n//2} IQ samples (batched)",
           file=_sys.stderr)
 
-    fast = dict(fused_frontend="bf16", pll_impl="chunked") if args.fast else {}
+    fast = (dict(fused_frontend="bf16", pll_impl="chunked", pll_chunk=32)
+            if args.fast else {})
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     out, _ = rx.run(batch, blocks_per_step=args.blocks_per_step)
     for i, path in enumerate(paths):

@@ -75,8 +75,11 @@ class Receiver:
                  rds_rrc_taps: int = 151,
                  emit_if: bool = False,
                  pll_impl: str = "auto",
+                 pll_chunk: int = 16,
                  demod: str = "discriminator",
                  fused_frontend: bool | str = False,
+                 fe_out_tile: int = 128,
+                 fe_sub_tiles: int = 1,
                  filter_engine: str = "direct",
                  stereo_phase_adjust: float = 0.0,
                  compat_pll: bool = False,
@@ -105,6 +108,9 @@ class Receiver:
             pll_impl = "scan"
         assert pll_impl in ("scan", "pallas", "chunked")
         self.pll_impl = pll_impl
+        # chunk length for pll_impl='chunked': phase-detector vectorization
+        # factor; frozen-feedback error grows O((chunk*bw)^2)
+        self.pll_chunk = pll_chunk
         # 'discriminator' = reference C++ FMDemod (src/filter.cpp:106-133);
         # 'arctan' = the Python golden model's atan2+unwrap+diff demod
         # (model/fmSupportLib.py:34-63)
@@ -156,7 +162,12 @@ class Receiver:
         if fused_frontend:
             from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
             dt = jnp.bfloat16 if fused_frontend == "bf16" else jnp.float32
+            # fe_out_tile trades banded-matmul FLOP waste (rows ~ 2*D*OT,
+            # useful band ~ 2*taps per column) against per-tile overhead;
+            # 64 halves the waste vs 128 while keeping 2*OT a full lane dim
             self._fused_fe = FusedFrontend(rf_coeff, cfg.rf_decim,
+                                           out_tile=fe_out_tile,
+                                           sub_tiles=fe_sub_tiles,
                                            compute_dtype=dt)
         if filter_engine == "fft" and cfg.audio_interp == 1:
             self.audio_resampler = _dec_filter(audio_coeff, cfg.audio_decim)
@@ -268,7 +279,7 @@ class Receiver:
                               **kw)
         if self.pll_impl == "chunked":
             from sdr_tpu.ops.pll import pll_chunked
-            return pll_chunked(x, st, **kw)
+            return pll_chunked(x, st, chunk=self.pll_chunk, **kw)
         return pll(x, st, wrap_phase=self.pll_wrap_phase, **kw)
 
     # ------------------------------------------------------------------- step

@@ -51,49 +51,63 @@ def _build_band_matrix(coeff: np.ndarray, decim: int, out_tile: int,
 
 
 def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
-                     in_len, out_tile, decim, compute_dtype):
+                     in_len, out_tile, decim, compute_dtype, sub_tiles):
     t = pl.program_id(0)
     start = t * 2 * decim * out_tile
     dma = pltpu.make_async_copy(xp_ref.at[:, pl.ds(start, in_len)],
                                 scratch_ref, sem)
     dma.start()
     dma.wait()
-    # Mosaic has no direct u8->f32 cast; XOR the sign bit to reinterpret the
-    # excess-128 byte as int8 (exactly x-128), then widen.  Note the decode
-    # is EXACT in bf16 too: (x-128) in [-128,127] and /128 are both
-    # representable (8 mantissa bits, power-of-two scale).
-    as_i8 = pltpu.bitcast(scratch_ref[:, :] ^ jnp.uint8(0x80), jnp.int8)
-    xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
-    out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
-    i_ref[:, :] = out[:, :out_tile]
-    q_ref[:, :] = out[:, out_tile:]
+    # The band matrix wastes MXU rows ~ 2*decim*tile / (2*taps) per column;
+    # splitting the tile into sub_tiles independent sub-matmuls (each over
+    # its own input window) cuts the waste proportionally while the output
+    # block stays a legal (C, out_tile>=128) shape.  Sub-windows overlap by
+    # the tail rows only; each output still reduces exactly the same
+    # nonzero terms (equivalent to ~1 ULP — only the reduction tree over
+    # the band's zero rows changes).
+    ot = out_tile // sub_tiles
+    sub_in = a_ref.shape[0]
+    for s in range(sub_tiles):
+        # Mosaic has no direct u8->f32 cast; XOR the sign bit to reinterpret
+        # the excess-128 byte as int8 (exactly x-128), then widen.  The
+        # decode is EXACT in bf16 too: (x-128) in [-128,127] and /128 are
+        # both representable (8 mantissa bits, power-of-two scale).
+        sl = scratch_ref[:, s * 2 * decim * ot:s * 2 * decim * ot + sub_in]
+        as_i8 = pltpu.bitcast(sl ^ jnp.uint8(0x80), jnp.int8)
+        xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
+        out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
+        i_ref[:, s * ot:(s + 1) * ot] = out[:, :ot]
+        q_ref[:, s * ot:(s + 1) * ot] = out[:, ot:]
 
 
 @functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
-                                              "compute_dtype"))
+                                              "compute_dtype", "sub_tiles"))
 def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
-                         compute_dtype=jnp.float32):
+                         compute_dtype=jnp.float32, sub_tiles=1):
     c, total = xp.shape
-    tail_u8 = a.shape[0] - 2 * decim * out_tile
+    ot = out_tile // sub_tiles
+    tail_u8 = a.shape[0] - 2 * decim * ot
+    in_len = 2 * decim * out_tile + tail_u8
     n_out = (total - tail_u8) // (2 * decim)
     grid = n_out // out_tile
-    kernel = functools.partial(_frontend_kernel, in_len=a.shape[0],
+    kernel = functools.partial(_frontend_kernel, in_len=in_len,
                                out_tile=out_tile, decim=decim,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               sub_tiles=sub_tiles)
     a = a.astype(compute_dtype)
     i_ds, q_ds = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=(jax.ShapeDtypeStruct((c, n_out), jnp.float32),
                    jax.ShapeDtypeStruct((c, n_out), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec((a.shape[0], 2 * out_tile),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((a.shape[0], 2 * ot),
                                lambda t: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((c, out_tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((c, out_tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((c, a.shape[0]), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((c, in_len), jnp.uint8),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(xp, a)
@@ -108,10 +122,17 @@ class FusedFrontend:
     """
 
     def __init__(self, coeff: np.ndarray, decim: int, out_tile: int = 128,
-                 compute_dtype=None):
+                 compute_dtype=None, sub_tiles: int = 1):
         self.taps = len(coeff)
         self.decim = int(decim)
         self.out_tile = int(out_tile)
+        # sub_tiles > 1 splits each tile's banded matmul into independent
+        # sub-matmuls over shifted input windows — same outputs to ~1 ULP,
+        # ~sub_tiles x less banded-zero FLOP waste; 2*(out_tile/sub_tiles)
+        # must still fill the 128-lane matmul width
+        self.sub_tiles = int(sub_tiles)
+        assert out_tile % sub_tiles == 0 and (
+            2 * out_tile // sub_tiles) % 128 == 0, (out_tile, sub_tiles)
         # bf16 mode: exact u8 decode, ~0.4% coefficient rounding (~55 dB
         # output SNR) for a 4x MXU rate and half the VMEM traffic
         import jax.numpy as _jnp
@@ -120,7 +141,8 @@ class FusedFrontend:
         # requires; rows below the FIR reach are zero in the band matrix
         self.tail_u8 = -(-(2 * (self.taps - 1)) // 128) * 128
         self._a = jnp.asarray(_build_band_matrix(
-            np.asarray(coeff, np.float64), decim, out_tile, self.tail_u8))
+            np.asarray(coeff, np.float64), decim, out_tile // sub_tiles,
+            self.tail_u8))
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
         # value 128 decodes to 0.0 == zero-filled float tails
@@ -148,7 +170,8 @@ class FusedFrontend:
         i_ds, q_ds = _fused_frontend_call(xp, self._a, decim=self.decim,
                                           out_tile=self.out_tile,
                                           interpret=interpret,
-                                          compute_dtype=self.compute_dtype)
+                                          compute_dtype=self.compute_dtype,
+                                          sub_tiles=self.sub_tiles)
         if c_pad != c:
             i_ds, q_ds = i_ds[:c], q_ds[:c]
         new_tail = u8_block[..., n - self.tail_u8:]

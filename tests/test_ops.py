@@ -237,10 +237,14 @@ def test_pll_chunked_tracks_exact():
     pilot = generate_sin(fs, 19e3, 48000, amplitude=0.3, phase=0.4)
     o1, _ = pll(jnp.asarray(pilot), pll_init(), freq=19e3, fs=fs,
                 nco_scale=2.0)
-    o2, _ = pll_chunked(jnp.asarray(pilot), pll_init(), freq=19e3, fs=fs,
-                        nco_scale=2.0, chunk=16)
-    d = np.abs(np.asarray(o1) - np.asarray(o2))
-    assert d[10000:].max() < 0.1, f"post-lock divergence {d[10000:].max():.3f}"
+    # frozen-feedback ripple grows with chunk; 32 keeps full end-to-end
+    # stereo separation (see test_stereo_*) at ~9 deg peak NCO ripple
+    for chunk, bound in ((16, 0.1), (32, 0.2)):
+        o2, _ = pll_chunked(jnp.asarray(pilot), pll_init(), freq=19e3, fs=fs,
+                            nco_scale=2.0, chunk=chunk)
+        d = np.abs(np.asarray(o1) - np.asarray(o2))
+        assert d[10000:].max() < bound, (
+            f"chunk={chunk} post-lock divergence {d[10000:].max():.3f}")
 
 
 def test_pll_chunked_block_continuity():

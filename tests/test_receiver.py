@@ -242,6 +242,21 @@ def test_stereo_with_fused_frontend():
     assert sep > 12.0, f"fused+chunked separation {sep:.1f} dB"
 
 
+def test_fused_frontend_sub_tiles_equivalent():
+    """sub_tiles splits the banded matmul into smaller windows: same
+    outputs to float rounding (the split only removes zero band rows)."""
+    rx1 = Receiver(0, fused_frontend=True)
+    rx2 = Receiver(0, fused_frontend=True, fe_sub_tiles=2)
+    cfg = MODES[0]
+    n = int(0.05 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.05,
+                                mono=tx.tone(cfg.rf_fs, 900.0, n))
+    o1, _ = rx1.run(cap)
+    o2, _ = rx2.run(cap)
+    np.testing.assert_allclose(np.asarray(o1["mono"]),
+                               np.asarray(o2["mono"]), atol=1e-5)
+
+
 def test_fft_filter_engine_matches_direct():
     """The FFT overlap-save engine is interchangeable with the direct
     polyphase engine across the whole receiver (mono + stereo, mode 0)."""

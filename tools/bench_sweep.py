@@ -65,6 +65,12 @@ def main() -> int:
     ap.add_argument("--fused", choices=["off", "f32", "bf16"], default=None)
     ap.add_argument("--pll", choices=["scan", "chunked", "pallas"],
                     default=None)
+    ap.add_argument("--fe-out-tile", type=int, default=None,
+                    help="fused front-end banded-matmul output tile")
+    ap.add_argument("--fe-sub-tiles", type=int, default=None,
+                    help="split each front-end tile into N sub-matmuls")
+    ap.add_argument("--pll-chunk", type=int, default=None,
+                    help="chunked-PLL vectorization length")
     ap.add_argument("--filter-engine", choices=["direct", "fft"],
                     default="direct")
     ap.add_argument("--cpu", action="store_true")
@@ -82,6 +88,12 @@ def main() -> int:
         kw["fused_frontend"] = False if args.fused == "off" else args.fused
     if args.pll:
         kw["pll_impl"] = args.pll
+    if args.fe_out_tile:
+        kw["fe_out_tile"] = args.fe_out_tile
+    if args.fe_sub_tiles:
+        kw["fe_sub_tiles"] = args.fe_sub_tiles
+    if args.pll_chunk:
+        kw["pll_chunk"] = args.pll_chunk
     rx = Receiver(args.mode,
                   stereo=args.chain in ("stereo", "stereo_rds"),
                   rds=args.chain in ("rds", "stereo_rds"),
