@@ -79,7 +79,7 @@ class Receiver:
                  demod: str = "discriminator",
                  fused_frontend: bool | str = False,
                  fe_out_tile: int = 128,
-                 fe_sub_tiles: int = 1,
+                 fe_sub_tiles: int = 2,
                  filter_engine: str = "direct",
                  stereo_phase_adjust: float = 0.0,
                  compat_pll: bool = False,
