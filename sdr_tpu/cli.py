@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freqs", default=None,
                    help="comma-separated station offsets in Hz for "
                         "--wideband (e.g. -1500000,0,1800000)")
+    p.add_argument("--scan", action="store_true",
+                   help="with --wideband: auto-detect station offsets from "
+                        "the capture's spectrum instead of --freqs")
+    p.add_argument("--scan-snr", type=float, default=10.0,
+                   help="detection threshold above the noise floor (dB)")
+    p.add_argument("--max-stations", type=int, default=None,
+                   help="with --scan: keep only the N strongest stations")
     return p
 
 
@@ -186,13 +193,28 @@ def _run_wideband(args, cfg, stereo, rds):
     from sdr_tpu.ops.channelizer import WidebandChannelizer
     from sdr_tpu.io import wav as wavio
 
-    if not args.freqs or not args.wav_dir:
-        print("--wideband requires --freqs and --wav-dir", file=_sys.stderr)
+    if not (args.freqs or args.scan) or not args.wav_dir:
+        print("--wideband requires --freqs (or --scan) and --wav-dir",
+              file=_sys.stderr)
         return 1
-    freqs = [float(f) for f in args.freqs.split(",") if f]
     fs_wide = args.wideband
     raw = np.fromfile(args.infile, dtype="<f4")
     iw, qw = np.ascontiguousarray(raw[0::2]), np.ascontiguousarray(raw[1::2])
+    if args.scan:
+        from sdr_tpu.ops.spectrum import find_stations
+        # survey the first ~0.1 s (plenty for energy detection)
+        n_scan = min(len(iw), max(1 << 18, int(0.1 * fs_wide)))
+        freqs = find_stations(iw[:n_scan], qw[:n_scan], fs_wide,
+                              min_snr_db=args.scan_snr,
+                              max_stations=args.max_stations)
+        if not freqs:
+            print("scan found no stations", file=_sys.stderr)
+            return 1
+        print("scan found stations at "
+              + ", ".join(f"{f/1e6:+.2f} MHz" for f in freqs),
+              file=_sys.stderr)
+    else:
+        freqs = [float(f) for f in args.freqs.split(",") if f]
     chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs)
     fast = dict(fused_frontend=False,
                 pll_impl="chunked" if args.fast else "auto",

@@ -103,6 +103,72 @@ def test_channelizer_rejects_nonintegral_ratio():
         WidebandChannelizer(10e6, 2.4e6, [0.0])
 
 
+def test_find_stations_detects_synthesized():
+    """Spectrum survey finds exactly the synthesized stations, strongest
+    first, on the 100 kHz raster."""
+    from sdr_tpu.ops.spectrum import find_stations
+    cfg = MODES[0]
+    fs_st = float(cfg.rf_fs)
+    fs_wide = 4 * fs_st
+    freqs = [-2.0e6, 0.5e6, 3.1e6]
+    amps = [0.5, 0.25, 0.4]
+    secs = 0.08
+    n = int(secs * fs_st)
+    stations = []
+    for a, f in zip(amps, freqs):
+        m = tx.make_multiplex(fs_st, n, mono=tx.tone(fs_st, 1000.0, n))
+        i, q = tx.fm_modulate(m, fs_st)
+        stations.append((i + 1j * q) * a)
+    iw, qw = synthesize_wideband(stations, freqs, fs_st, fs_wide)
+    rng = np.random.default_rng(3)
+    iw = iw + 0.01 * rng.standard_normal(len(iw)).astype(np.float32)
+    qw = qw + 0.01 * rng.standard_normal(len(qw)).astype(np.float32)
+    found = find_stations(iw, qw, fs_wide)
+    assert sorted(found) == sorted(freqs), found
+    assert found[0] == -2.0e6  # strongest first
+
+
+def test_find_stations_empty_on_noise():
+    from sdr_tpu.ops.spectrum import find_stations
+    rng = np.random.default_rng(4)
+    iw = rng.standard_normal(1 << 19).astype(np.float32)
+    qw = rng.standard_normal(1 << 19).astype(np.float32)
+    assert find_stations(iw, qw, 9.6e6) == []
+
+
+def test_cli_wideband_scan(tmp_path):
+    """--wideband --scan: detect stations from the spectrum, then decode."""
+    import os
+    from sdr_tpu.cli import main
+    from sdr_tpu.io.wav import read_wav
+
+    cfg = MODES[0]
+    fs_st = float(cfg.rf_fs)
+    fs_wide = 4 * fs_st
+    freqs = [-1.2e6, 1.5e6]
+    secs = 0.3
+    n = int(secs * fs_st)
+    stations = []
+    for k in range(2):
+        mono = tx.tone(fs_st, 800.0 + 500.0 * k, n)
+        m = tx.make_multiplex(fs_st, n, mono=mono)
+        i, q = tx.fm_modulate(m, fs_st)
+        stations.append((i + 1j * q) * (0.5 - 0.15 * k))
+    iw, qw = synthesize_wideband(stations, freqs, fs_st, fs_wide)
+    wide = np.empty(2 * len(iw), np.float32)
+    wide[0::2], wide[1::2] = iw, qw
+    inp = str(tmp_path / "wide.cf32")
+    wide.tofile(inp)
+    wav_dir = str(tmp_path / "wavs")
+    rc = main(["0", "1", "--wideband", str(fs_wide), "--scan",
+               "--in", inp, "--wav-dir", wav_dir, "--blocks-per-step", "4"])
+    assert rc == 0
+    # strongest station (index 0 after scan ordering) is the -1.2 MHz one
+    rate, data = read_wav(os.path.join(wav_dir, "station0.wav"))
+    snr = tone_snr_db(data.astype(np.float64), rate, 800.0, skip=2000)
+    assert snr > 18.0, f"{snr:.1f} dB"
+
+
 def test_cli_wideband_mode(tmp_path):
     """End-to-end wideband CLI: f32 complex capture -> station WAVs + RDS."""
     import os
