@@ -53,11 +53,28 @@ def _build_band_matrix(coeff: np.ndarray, decim: int, out_tile: int,
 def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
                      in_len, out_tile, decim, compute_dtype, sub_tiles):
     t = pl.program_id(0)
-    start = t * 2 * decim * out_tile
-    dma = pltpu.make_async_copy(xp_ref.at[:, pl.ds(start, in_len)],
-                                scratch_ref, sem)
-    dma.start()
-    dma.wait()
+    n_t = pl.num_programs(0)
+    stride = 2 * decim * out_tile
+
+    # double-buffered input pipeline: tile t+1's HBM->VMEM copy runs while
+    # tile t computes (the automatic pipeliner can't express the overlapping
+    # input windows, so the copy is manual — without this it serializes
+    # with the matmul)
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[:, pl.ds(idx * stride, in_len)],
+            scratch_ref.at[slot], sem.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        get_dma((t + 1) % 2, t + 1).start()
+
+    get_dma(t % 2, t).wait()
+    slot = t % 2
     # The band matrix wastes MXU rows ~ 2*decim*tile / (2*taps) per column;
     # splitting the tile into sub_tiles independent sub-matmuls (each over
     # its own input window) cuts the waste proportionally while the output
@@ -72,7 +89,8 @@ def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
         # the excess-128 byte as int8 (exactly x-128), then widen.  The
         # decode is EXACT in bf16 too: (x-128) in [-128,127] and /128 are
         # both representable (8 mantissa bits, power-of-two scale).
-        sl = scratch_ref[:, s * 2 * decim * ot:s * 2 * decim * ot + sub_in]
+        sl = scratch_ref[slot, :, s * 2 * decim * ot:s * 2 * decim * ot
+                         + sub_in]
         as_i8 = pltpu.bitcast(sl ^ jnp.uint8(0x80), jnp.int8)
         xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
         out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
@@ -107,8 +125,8 @@ def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((c, out_tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((c, in_len), jnp.uint8),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, c, in_len), jnp.uint8),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(xp, a)
     return i_ds, q_ds
