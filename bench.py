@@ -100,9 +100,10 @@ def main() -> int:
     if time_left():
         msps_stc = _bench_scan(Receiver(0, stereo=True, rds=True,
                                         fused_frontend="bf16",
-                                        pll_impl="chunked", pll_chunk=32),
-                               128, 25, 8)
-        print(f"stereo+RDS 128ch (fused bf16, chunked-32 PLL): "
+                                        pll_impl="pallas_chunked",
+                                        pll_chunk=32),
+                               128, 50, 8)
+        print(f"stereo+RDS 128ch (fused bf16, Pallas chunked-32 PLL): "
               f"{msps_stc:5.1f} IQ MS/s/chip", file=sys.stderr)
     if time_left():
         h2d = _bench_h2d()

@@ -103,7 +103,11 @@ def main(argv: list[str] | None = None) -> int:
           f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
           file=sys.stderr)
 
-    fast = (dict(fused_frontend="bf16", pll_impl="chunked", pll_chunk=32)
+    # the Pallas chunked-PLL kernel needs a real TPU (interpret mode on
+    # CPU is slower than the XLA chunked engine)
+    _pll_fast = ("pallas_chunked" if jax.default_backend() == "tpu"
+                 else "chunked")
+    fast = (dict(fused_frontend="bf16", pll_impl=_pll_fast, pll_chunk=32)
             if args.fast else {})
     rx = Receiver(args.mode, stereo=stereo, rds=rds,
                   emit_if=args.psd_dump is not None, **fast)
@@ -273,6 +277,7 @@ def _run_stations(args, cfg, stereo, rds):
     """
     import os
     import sys as _sys
+    import jax
     import numpy as np
     from sdr_tpu.models.receiver import Receiver
     from sdr_tpu.io import wav as wavio
@@ -288,7 +293,11 @@ def _run_stations(args, cfg, stereo, rds):
     print(f"Decoding {len(paths)} stations x {n//2} IQ samples (batched)",
           file=_sys.stderr)
 
-    fast = (dict(fused_frontend="bf16", pll_impl="chunked", pll_chunk=32)
+    # the Pallas chunked-PLL kernel needs a real TPU (interpret mode on
+    # CPU is slower than the XLA chunked engine)
+    _pll_fast = ("pallas_chunked" if jax.default_backend() == "tpu"
+                 else "chunked")
+    fast = (dict(fused_frontend="bf16", pll_impl=_pll_fast, pll_chunk=32)
             if args.fast else {})
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     out, _ = rx.run(batch, blocks_per_step=args.blocks_per_step)

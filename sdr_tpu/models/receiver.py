@@ -106,7 +106,7 @@ class Receiver:
             # in a fused VMEM kernel (~1.7x over scan on v5e) — select
             # explicitly for PLL-bound stereo/RDS workloads.
             pll_impl = "scan"
-        assert pll_impl in ("scan", "pallas", "chunked")
+        assert pll_impl in ("scan", "pallas", "chunked", "pallas_chunked")
         self.pll_impl = pll_impl
         # chunk length for pll_impl='chunked': phase-detector vectorization
         # factor; frozen-feedback error grows O((chunk*bw)^2)
@@ -277,6 +277,11 @@ class Receiver:
             from sdr_tpu.ops.pallas.pll_kernel import pll_pallas
             return pll_pallas(x, st, interpret=jax.default_backend() != "tpu",
                               **kw)
+        if self.pll_impl == "pallas_chunked":
+            from sdr_tpu.ops.pallas.pll_kernel import pll_pallas_chunked
+            return pll_pallas_chunked(
+                x, st, chunk=self.pll_chunk,
+                interpret=jax.default_backend() != "tpu", **kw)
         if self.pll_impl == "chunked":
             from sdr_tpu.ops.pll import pll_chunked
             return pll_chunked(x, st, chunk=self.pll_chunk, **kw)

@@ -87,6 +87,113 @@ def _pll_kernel(x_ref, st_ref, out_ref, newst_ref, *, n_rows, kp, ki, w0,
     newst_ref[3:4, :] = fbq
 
 
+def _pll_chunked_kernel(x_ref, st_ref, out_ref, newst_ref, *, n_chunks,
+                        chunk, kp, ki, w0, wmod, scale, adj, lag_correction):
+    """Chunk-vectorized PLL recurrence in VMEM (the pll_chunked algorithm,
+    ops/pll.py): per fori_loop step, freeze the feedback phase over `chunk`
+    samples, measure all errors in one (chunk, 128) vector op, then apply
+    the chunk's PI updates exactly via cumulative sums — computed as
+    lower-triangular (chunk, chunk) matmuls on the MXU."""
+    integ = st_ref[0:1, :]
+    acc = st_ref[1:2, :]
+    t = jax.lax.broadcasted_iota(jnp.int32, (chunk, LANES), 0
+                                 ).astype(jnp.float32)            # 0..K-1
+    j = t + 1.0                                                   # 1..K
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+           >= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+           ).astype(jnp.float32)                                  # lower-tri
+
+    def body(i, carry):
+        integ, acc = carry
+        xc = x_ref[pl.ds(i * chunk, chunk), :]
+        pred = acc + t * (w0 + integ)
+        e = _atan2_poly(xc * (-jnp.sin(pred)), xc * jnp.cos(pred))
+        ce = jnp.dot(tri, e, preferred_element_type=jnp.float32)
+        integ_i = integ + ki * ce
+        cs_integ = j * integ + ki * jnp.dot(
+            tri, ce, preferred_element_type=jnp.float32)
+        acc_i = acc + j * w0 + kp * ce + cs_integ
+        out_arg = acc_i - w0 if lag_correction else acc_i
+        out_ref[pl.ds(i * chunk, chunk), :] = jnp.cos(out_arg * scale + adj)
+        return (integ_i[chunk - 1:chunk, :],
+                jnp.mod(acc_i[chunk - 1:chunk, :], wmod))
+
+    integ, acc = jax.lax.fori_loop(0, n_chunks, body, (integ, acc))
+    newst_ref[0:1, :] = integ
+    newst_ref[1:2, :] = acc
+    newst_ref[2:3, :] = jnp.cos(acc)
+    newst_ref[3:4, :] = jnp.sin(acc)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "freq", "fs", "nco_scale", "phase_adjust", "norm_bandwidth",
+    "lag_correction", "chunk", "interpret"))
+def pll_pallas_chunked(x: jax.Array, state: PLLState, *, freq: float,
+                       fs: float, nco_scale: float = 1.0,
+                       phase_adjust: float = 0.0,
+                       norm_bandwidth: float = 0.01,
+                       lag_correction: bool = True, chunk: int = 32,
+                       interpret: bool = False):
+    """Drop-in for ops.pll.pll_chunked on TPU: same frozen-feedback math,
+    run as one VMEM kernel (zero scan overhead between chunks).
+
+    x: (N,) or (C, N) with C <= 128.  Returns (nco_out, new_state).
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+        state = jax.tree.map(lambda s: s[None], state)
+    c, n = x.shape
+    assert c <= LANES, f"channel batch {c} > {LANES}; shard first"
+    chunk = _largest_divisor_at_most(n, chunk)
+
+    kp = float(norm_bandwidth * PLL_CP)
+    ki = float(norm_bandwidth * norm_bandwidth * PLL_CI)
+    w0 = float(2.0 * np.pi * (freq / fs))
+    wmod = float(_wrap_modulus(nco_scale))
+
+    xt = jnp.zeros((n, LANES), jnp.float32).at[:, :c].set(x.T)
+    st = jnp.zeros((8, LANES), jnp.float32)
+    st = st.at[0, :c].set(state.integrator)
+    st = st.at[1, :c].set(state.phase_acc)
+    st = st.at[2, :c].set(state.feedback_i)
+    st = st.at[3, :c].set(state.feedback_q)
+
+    # bound the VMEM working set: tile time into <=4096-row kernel calls
+    # (2 MB in + 2 MB out), each running its chunks in one fori_loop
+    rows = chunk * _largest_divisor_at_most(n // chunk, 4096 // chunk)
+    kernel = functools.partial(
+        _pll_chunked_kernel, n_chunks=rows // chunk, chunk=chunk, kp=kp,
+        ki=ki, w0=w0, wmod=wmod, scale=float(nco_scale),
+        adj=float(phase_adjust), lag_correction=lag_correction)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((8, LANES), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )
+
+    def scan_fn(st, x_rows):
+        out, new_st = call(x_rows, st)
+        return new_st, out
+
+    st_final, outs = jax.lax.scan(scan_fn, st,
+                                  xt.reshape(n // rows, rows, LANES))
+    nco = outs.reshape(n, LANES)[:, :c].T
+    new_state = PLLState(
+        integrator=st_final[0, :c], phase_acc=st_final[1, :c],
+        feedback_i=st_final[2, :c], feedback_q=st_final[3, :c],
+        trig_offset=state.trig_offset)
+    if squeeze:
+        nco = nco[0]
+        new_state = jax.tree.map(lambda s: s[0], new_state)
+    return nco, new_state
+
+
 @functools.partial(jax.jit, static_argnames=(
     "freq", "fs", "nco_scale", "phase_adjust", "norm_bandwidth",
     "lag_correction", "chunk", "interpret"))

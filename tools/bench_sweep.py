@@ -63,7 +63,7 @@ def main() -> int:
     ap.add_argument("--fast", action="store_true",
                     help="fused bf16 front-end + chunked PLL")
     ap.add_argument("--fused", choices=["off", "f32", "bf16"], default=None)
-    ap.add_argument("--pll", choices=["scan", "chunked", "pallas"],
+    ap.add_argument("--pll", choices=["scan", "chunked", "pallas", "pallas_chunked"],
                     default=None)
     ap.add_argument("--fe-out-tile", type=int, default=None,
                     help="fused front-end banded-matmul output tile")
