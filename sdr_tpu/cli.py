@@ -121,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
 
     fin = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
     fout = sys.stdout.buffer if args.outfile == "-" else open(args.outfile, "wb")
+    sink = _audio_sink(fout)
 
     wav_chunks: list[np.ndarray] = []
     rds_soft: list[np.ndarray] = []
@@ -133,12 +134,13 @@ def main(argv: list[str] | None = None) -> int:
         jax.profiler.start_trace(args.profile)
     for raw in _block_source(fin, block_size):
         if pending is not None:
-            _drain(pending, stereo, fout, wav_chunks, rds_soft, if_chunks)
+            _drain(pending, stereo, sink, wav_chunks, rds_soft, if_chunks)
         state, out = step(state, jax.numpy.asarray(raw))
         pending = out
         n_in += len(raw)
     if pending is not None:
-        _drain(pending, stereo, fout, wav_chunks, rds_soft, if_chunks)
+        _drain(pending, stereo, sink, wav_chunks, rds_soft, if_chunks)
+    sink.close()  # joins the native writer thread after draining its ring
 
     if args.profile:
         jax.profiler.stop_trace()
@@ -220,8 +222,12 @@ def _run_wideband(args, cfg, stereo, rds):
     else:
         freqs = [float(f) for f in args.freqs.split(",") if f]
     chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs)
+    # same backend dispatch as main()/_run_stations: the Pallas chunked PLL
+    # only pays off on a real TPU (interpret mode on CPU is slower)
+    _pll_fast = ("pallas_chunked" if jax.default_backend() == "tpu"
+                 else "chunked")
     fast = dict(fused_frontend=False,
-                pll_impl="chunked" if args.fast else "auto",
+                pll_impl=_pll_fast if args.fast else "auto",
                 pll_chunk=32)
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     print(f"Channelizing {len(freqs)} stations from {fs_wide/1e6:.1f} MS/s "
@@ -339,13 +345,43 @@ def _block_source(fin, block_size):
     return read_u8_blocks(fin, block_size)
 
 
-def _drain(out, stereo, fout, wav_chunks, rds_soft, if_chunks):
+class _SyncSink:
+    """Fallback synchronous audio sink when the native runtime is absent."""
+
+    def __init__(self, fout):
+        self._fout = fout
+
+    def write(self, data: bytes):
+        self._fout.write(data)
+
+    def close(self):
+        try:
+            self._fout.flush()
+        except Exception:
+            pass
+
+
+def _audio_sink(fout):
+    """Prefer the native off-thread writer (bounded ring, drained by a C++
+    thread so fwrite latency never stalls the device-feed loop — the
+    reference's consumer-side decoupling, src/project.cpp:195)."""
+    try:
+        from sdr_tpu import native
+        if native.available() and hasattr(fout, "fileno"):
+            fout.flush()  # anything buffered goes out before raw-fd writes
+            return native.BlockWriter(fout.fileno())
+    except Exception:
+        pass
+    return _SyncSink(fout)
+
+
+def _drain(out, stereo, sink, wav_chunks, rds_soft, if_chunks):
     from sdr_tpu.io.stream import interleave_stereo_s16, pack_s16
     if stereo:
         pcm = np.asarray(interleave_stereo_s16(out["left"], out["right"]))
     else:
         pcm = np.asarray(pack_s16(out["mono"]))
-    fout.write(pcm.astype("<i2").tobytes())
+    sink.write(pcm.astype("<i2").tobytes())
     wav_chunks.append(pcm)
     if "rds_soft" in out:
         rds_soft.append(np.asarray(out["rds_soft"]))

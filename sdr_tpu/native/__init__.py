@@ -102,6 +102,8 @@ class BlockWriter:
             data = data.tobytes()
         self._lib.sdr_writer_push(self._h, data, len(data))
 
+    write = push  # file-like sink interface (cli._audio_sink)
+
     def close(self):
         if self._h:
             self._lib.sdr_writer_destroy(self._h)

@@ -98,12 +98,11 @@ class WidebandChannelizer:
         """
         key = (n, stride)
         if key not in self._ramp_cache:
-            c = n
-            for cand in range(min(n, 4096), 0, -1):
-                if n % cand == 0:
-                    c = cand
-                    break
-            a = n // c
+            # c need not divide n: a is padded to ceil(n/c) and the composed
+            # phasor is sliced back to n on device (so prime / awkward block
+            # lengths never degrade to a full (K, n) table)
+            c = min(n, 4096)
+            a = -(-n // c)
             row = (self._dphi[:, None]
                    * (np.arange(a, dtype=np.float64) * (c * stride))[None, :]
                    ) % (2.0 * np.pi)
@@ -171,20 +170,21 @@ def _modulated_bank(coeff: np.ndarray, dphi: np.ndarray) -> np.ndarray:
     return rhs
 
 
-def _compose_phasor(phase, row, base):
+def _compose_phasor(phase, row, base, n):
     """(cos, sin) of theta[k, i] = phase_k + row_[k,a] + base_[k,b] with
     i = a*C + b, WITHOUT per-element trig: the phasor e^{j theta} is the
     complex product of e^{j phase} (K on-device trig calls) with two small
     host-f64-exact phasor tables (K, A) x (K, C) — a pure mul/add outer
     product, which is what the VPU is fast at (per-element cos/sin on
-    K*A*C elements dominated the whole channelizer otherwise)."""
+    K*A*C elements dominated the whole channelizer otherwise).  A*C may
+    exceed n (padded factoring); the result is sliced to the first n."""
     (rr, ri), (br, bi) = row, base
     k, a = rr.shape
     c = br.shape[1]
     er = (rr[:, :, None] * br[:, None, :]
-          - ri[:, :, None] * bi[:, None, :]).reshape(k, a * c)
+          - ri[:, :, None] * bi[:, None, :]).reshape(k, a * c)[:, :n]
     ei = (rr[:, :, None] * bi[:, None, :]
-          + ri[:, :, None] * br[:, None, :]).reshape(k, a * c)
+          + ri[:, :, None] * br[:, None, :]).reshape(k, a * c)[:, :n]
     pr, pi = jnp.cos(phase)[:, None], jnp.sin(phase)[:, None]
     return pr * er - pi * ei, pr * ei + pi * er
 
@@ -203,7 +203,7 @@ def _channelize_mfb(rhs, row, base, adv, decim, state_len,
         preferred_element_type=jnp.float32,
     )[0]                                                  # (2K, N/D)
     c_r, c_i = out[0::2], out[1::2]
-    cos_t, sin_t = _compose_phasor(state["phase"], row, base)
+    cos_t, sin_t = _compose_phasor(state["phase"], row, base, n // decim)
     i_out = c_r * cos_t - c_i * sin_t
     q_out = c_r * sin_t + c_i * cos_t
     new_state = {
@@ -218,7 +218,8 @@ def _channelize_mfb(rhs, row, base, adv, decim, state_len,
 def _channelize(row, base, adv, rhs_i, rhs_q, decim, state_len, L,
                 i_wide, q_wide, state):
     # batched oscillator: theta[k, t] = phase_k + dphi_k*(t+1), as phasors
-    cos_t, sin_t = _compose_phasor(state["phase"], row, base)
+    cos_t, sin_t = _compose_phasor(state["phase"], row, base,
+                                   i_wide.shape[-1])
     x_i = i_wide[None, :]
     x_q = q_wide[None, :]
     # complex multiply (x_i + j x_q) * (cos + j sin)  [sin already signed

@@ -145,7 +145,9 @@ def pll_pallas_chunked(x: jax.Array, state: PLLState, *, freq: float,
         state = jax.tree.map(lambda s: s[None], state)
     c, n = x.shape
     assert c <= LANES, f"channel batch {c} > {LANES}; shard first"
-    chunk = _largest_divisor_at_most(n, chunk)
+    # clamp to the VMEM tile bound first: chunk > 4096 would make
+    # 4096 // chunk == 0 below and defeat the <=4096-row working set
+    chunk = _largest_divisor_at_most(n, min(chunk, 4096))
 
     kp = float(norm_bandwidth * PLL_CP)
     ki = float(norm_bandwidth * norm_bandwidth * PLL_CI)

@@ -33,6 +33,10 @@ def psd_complex(i_wide: jax.Array, q_wide: jax.Array, nfft: int = 4096):
     """
     x = i_wide + 1j * q_wide
     n = x.shape[-1]
+    if n < nfft:
+        raise ValueError(
+            f"capture ({n} samples) shorter than nfft ({nfft}): the PSD "
+            "would average zero segments; pass a smaller nfft")
     nseg = n // nfft
     segs = x[..., : nseg * nfft].reshape(*x.shape[:-1], nseg, nfft)
     i = np.arange(nfft)
@@ -77,11 +81,15 @@ def find_stations(i_wide, q_wide, fs_wide: float, *,
     if len(cand) == 0:
         return []
 
-    # integrated channel power (linear) per candidate
+    # integrated channel power (linear) per candidate: prefix-sum over the
+    # sorted bin axis + two vectorized searchsorteds (O(nfft + candidates)
+    # instead of the O(candidates * nfft) per-candidate masking loop)
     lin = 10.0 ** (psd_db / 10.0)
     half = channel_bw / 2.0
-    power = np.array([lin[(freqs >= c - half) & (freqs < c + half)].sum()
-                      for c in cand])
+    csum = np.concatenate([[0.0], np.cumsum(lin)])
+    lo_idx = np.searchsorted(freqs, cand - half, side="left")
+    hi_idx = np.searchsorted(freqs, cand + half, side="left")
+    power = csum[hi_idx] - csum[lo_idx]
     power_db = 10.0 * np.log10(power + 1e-20)
 
     floor_db = np.median(power_db)

@@ -30,10 +30,16 @@ def sharded_run(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "channels",
     """
     n_ch = iq_u8.shape[0]
     n_dev = mesh.shape[axis]
-    assert n_ch % n_dev == 0, f"{n_ch} channels not divisible by {n_dev} devices"
+    # ragged channel counts: pad with silent (all-128 = zero-signal) channels
+    # to the next device multiple, slice the padding back off below
+    n_pad = (-n_ch) % n_dev
+    iq_np = np.asarray(iq_u8)
+    if n_pad:
+        iq_np = np.concatenate(
+            [iq_np, np.full((n_pad,) + iq_np.shape[1:], 128, iq_np.dtype)])
     sharding = NamedSharding(mesh, P(axis))
-    iq = jax.device_put(np.asarray(iq_u8), sharding)
-    state = rx.init_state((n_ch,))
+    iq = jax.device_put(iq_np, sharding)
+    state = rx.init_state((n_ch + n_pad,))
     state = jax.device_put(state, NamedSharding(mesh, P(axis)))
 
     bs = rx.block_size_u8(blocks_per_step)
@@ -54,4 +60,10 @@ def sharded_run(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "channels",
                 for k, v in outs.items()}
         return outs, final
 
-    return jax.jit(run_shard)(iq, state)
+    outs, final = jax.jit(run_shard)(iq, state)
+    if n_pad:
+        outs = {k: v[:n_ch] for k, v in outs.items()}
+        final = jax.tree.map(
+            lambda l: l[:n_ch] if hasattr(l, "ndim") and l.ndim and
+            l.shape[0] == n_ch + n_pad else l, final)
+    return outs, final

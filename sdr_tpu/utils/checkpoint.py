@@ -27,6 +27,13 @@ def load_state(path: str, like) -> object:
     (e.g. rx.init_state(batch_shape)); shapes are validated leaf-by-leaf."""
     with np.load(path, allow_pickle=False) as data:
         leaves_like, treedef = jax.tree.flatten(like)
+        if "__treedef__" in data:
+            saved_td = str(data["__treedef__"])
+            if saved_td != str(treedef):
+                raise ValueError(
+                    "checkpoint structure mismatch:\n"
+                    f"  saved:    {saved_td}\n"
+                    f"  expected: {treedef}")
         n = len(leaves_like)
         saved = [data[f"leaf_{i}"] for i in range(n)]
         for i, (s, l) in enumerate(zip(saved, leaves_like)):

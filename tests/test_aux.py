@@ -85,6 +85,15 @@ def test_checkpoint_shape_mismatch(tmp_path):
         load_state(path, rx.init_state((4,)))
 
 
+def test_checkpoint_treedef_mismatch(tmp_path):
+    """A structurally different pytree with identical leaf shapes must be
+    rejected by the stored-treedef check, not loaded silently."""
+    path = str(tmp_path / "state.npz")
+    save_state(path, {"a": np.zeros(3), "b": np.ones(3)})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_state(path, {"x": np.zeros(3), "y": np.ones(3)})
+
+
 # ------------------------------------------------------------------ logger
 def test_log_vector(tmp_path):
     from sdr_tpu.io.logger import gen_index_vector, log_vector

@@ -84,3 +84,19 @@ def test_native_ring_roundtrip():
     blocks = list(reader)
     reader.close()
     assert b"".join(b.tobytes() for b in blocks) == payload
+
+
+def test_native_writer_drains_on_close(tmp_path):
+    """BlockWriter (the CLI audio sink) must flush every queued block
+    before destroy returns — bytes written off-thread land in order."""
+    from sdr_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    dst = tmp_path / "audio.bin"
+    payload = [bytes([i]) * 1024 for i in range(32)]
+    with open(dst, "wb") as f:
+        w = native.BlockWriter(f.fileno(), capacity=4)
+        for p in payload:
+            w.push(p)
+        w.close()  # joins after draining
+    assert dst.read_bytes() == b"".join(payload)

@@ -38,6 +38,18 @@ def test_channel_dp_matches_serial(captures):
                                np.asarray(serial["mono"]), atol=1e-6)
 
 
+def test_channel_dp_ragged(captures):
+    """Channel counts that do not divide the mesh are padded with silent
+    channels internally and sliced back — 5 stations on 8 devices."""
+    rx = Receiver(0)
+    mesh = make_mesh(8, "channels")
+    outs, final = sharded_run(rx, captures[:5], mesh)
+    serial, _ = rx.run(captures[:5])
+    assert np.asarray(outs["mono"]).shape[0] == 5
+    np.testing.assert_allclose(np.asarray(outs["mono"]),
+                               np.asarray(serial["mono"]), atol=1e-6)
+
+
 def test_channel_dp_stereo(captures):
     rx = Receiver(0, stereo=True)
     mesh = make_mesh(4, "channels")
