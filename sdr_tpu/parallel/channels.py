@@ -30,17 +30,29 @@ def sharded_run(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "channels",
     """
     n_ch = iq_u8.shape[0]
     n_dev = mesh.shape[axis]
-    # ragged channel counts: pad with silent (all-128 = zero-signal) channels
-    # to the next device multiple, slice the padding back off below
-    n_pad = (-n_ch) % n_dev
-    iq_np = np.asarray(iq_u8)
-    if n_pad:
-        iq_np = np.concatenate(
-            [iq_np, np.full((n_pad,) + iq_np.shape[1:], 128, iq_np.dtype)])
     sharding = NamedSharding(mesh, P(axis))
-    iq = jax.device_put(iq_np, sharding)
-    state = rx.init_state((n_ch + n_pad,))
-    state = jax.device_put(state, NamedSharding(mesh, P(axis)))
+    if isinstance(iq_u8, jax.Array) and not iq_u8.is_fully_addressable:
+        # multi-host: the caller assembled the global batch with
+        # distributed.make_global_batch (per-host feeding); the state must
+        # be *computed* into the global sharding (device_put of host-local
+        # arrays cannot span processes)
+        n_pad = 0
+        assert n_ch % n_dev == 0, (
+            f"global batch of {n_ch} channels not divisible by {n_dev}")
+        iq = iq_u8
+        state = jax.jit(lambda: rx.init_state((n_ch,)),
+                        out_shardings=sharding)()
+    else:
+        # ragged channel counts: pad with silent (all-128 = zero-signal)
+        # channels to the next device multiple, slice padding back off below
+        n_pad = (-n_ch) % n_dev
+        iq_np = np.asarray(iq_u8)
+        if n_pad:
+            iq_np = np.concatenate(
+                [iq_np, np.full((n_pad,) + iq_np.shape[1:], 128, iq_np.dtype)])
+        iq = jax.device_put(iq_np, sharding)
+        state = rx.init_state((n_ch + n_pad,))
+        state = jax.device_put(state, sharding)
 
     bs = rx.block_size_u8(blocks_per_step)
 

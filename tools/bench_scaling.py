@@ -1,0 +1,116 @@
+"""Scaling proxy on the virtual CPU mesh (1 -> 2 -> 4 -> 8 devices).
+
+Real multi-chip hardware is not available in this environment (one TPU chip
+behind a tunnel), so this tool records the two kinds of scaling evidence a
+virtual CPU mesh CAN produce for BASELINE.md:
+
+  1. Weak-scaling wall clock: C channels/device at 1/2/4/8 devices.  NOTE
+     this host has 2 physical cores, so 4- and 8-device times oversubscribe
+     the cores and understate a real pod's efficiency; the 1 -> 2 step is
+     the only core-backed data point.
+  2. Compiled-program analysis (core-count independent): the per-device HLO
+     of the channel-DP program at each mesh size, grepping for collectives.
+     Channel DP is embarrassingly parallel — ZERO collective ops means the
+     per-device program is identical to the single-device one and scaling
+     on real hardware is bounded only by input feeding, not ICI/DCN.
+
+Run: python tools/bench_scaling.py  (re-execs itself with a clean CPU env).
+"""
+
+import json
+import os
+import sys
+import time
+
+if os.environ.get("_SDR_SCALING_CHILD") != "1":
+    env = {k: v for k, v in os.environ.items() if "AXON" not in k}
+    env["_SDR_SCALING_CHILD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+                        + env.get("XLA_FLAGS", ""))
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from sdr_tpu.config import MODES
+from sdr_tpu.models.receiver import Receiver
+from sdr_tpu.parallel.channels import sharded_run
+from sdr_tpu.parallel.mesh import make_mesh
+from sdr_tpu import tx
+
+COLLECTIVES = ("all-reduce", "all-gather", "all-to-all", "collective-permute",
+               "reduce-scatter")
+
+
+def hlo_collective_count(rx, n_dev: int, n_ch: int, n_bytes: int) -> int:
+    """Compile the sharded program and count collective ops in its HLO."""
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    mesh = make_mesh(n_dev, "channels")
+    bs = rx.block_size_u8()
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("channels"), P("channels")),
+             out_specs=P("channels"), check_vma=False)
+    def run_shard(iq_local, state_mono_tail):
+        del state_mono_tail
+        state = rx.init_state((iq_local.shape[0],))
+        nblocks = iq_local.shape[-1] // bs
+        blocks = iq_local[..., : nblocks * bs].reshape(
+            iq_local.shape[0], nblocks, bs)
+        blocks = jax.numpy.moveaxis(blocks, 1, 0)
+        _, outs = jax.lax.scan(lambda st, blk: rx.step(st, blk), state, blocks)
+        return jax.numpy.moveaxis(outs["mono"], 0, 1).reshape(
+            iq_local.shape[0], -1)
+
+    dummy_state = jax.numpy.zeros((n_ch, 1))
+    lowered = jax.jit(run_shard).lower(
+        jax.ShapeDtypeStruct((n_ch, n_bytes), jax.numpy.uint8), dummy_state)
+    hlo = lowered.compile().as_text()
+    return sum(hlo.count(c) for c in COLLECTIVES)
+
+
+def main():
+    cfg = MODES[0]
+    rx = Receiver(0)
+    per_dev = 2           # channels per device (weak scaling)
+    sec = 0.05
+    n = int(sec * cfg.rf_fs)
+
+    rows = []
+    for n_dev in (1, 2, 4, 8):
+        n_ch = per_dev * n_dev
+        caps = np.stack([
+            tx.synthesize_capture(cfg, seconds=sec,
+                                  mono=tx.tone(cfg.rf_fs, 500.0 + 40.0 * c, n),
+                                  seed=c)
+            for c in range(n_ch)])
+        mesh = make_mesh(n_dev, "channels")
+        # warmup (compile)
+        outs, _ = sharded_run(rx, caps, mesh)
+        jax.block_until_ready(outs["mono"])
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            outs, _ = sharded_run(rx, caps, mesh)
+            jax.block_until_ready(outs["mono"])
+        dt = (time.perf_counter() - t0) / reps
+        ncoll = hlo_collective_count(rx, n_dev, n_ch, caps.shape[-1])
+        rows.append({"devices": n_dev, "channels": n_ch,
+                     "wall_s": round(dt, 4),
+                     "iq_ms_per_s": round(n_ch * n / dt / 1e6, 1),
+                     "hlo_collectives": ncoll})
+        print(json.dumps(rows[-1]))
+
+    t1 = rows[0]["wall_s"]
+    for r in rows:
+        r["weak_eff_pct"] = round(100.0 * t1 / r["wall_s"], 1)
+    print(json.dumps({"table": rows, "physical_cores": os.cpu_count()}))
+
+
+if __name__ == "__main__":
+    main()
