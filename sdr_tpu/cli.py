@@ -124,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     sink = _audio_sink(fout)
 
     wav_chunks: list[np.ndarray] = []
-    rds_soft: list[np.ndarray] = []
+    rds_decoder = None
+    if rds:
+        from sdr_tpu.rds.streaming import StreamingRdsDecoder
+        rds_decoder = StreamingRdsDecoder(cfg.rds_sps)
     if_chunks: list[np.ndarray] = []
     n_in = 0
     t0 = time.perf_counter()
@@ -134,12 +137,12 @@ def main(argv: list[str] | None = None) -> int:
         jax.profiler.start_trace(args.profile)
     for raw in _block_source(fin, block_size):
         if pending is not None:
-            _drain(pending, stereo, sink, wav_chunks, rds_soft, if_chunks)
+            _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks)
         state, out = step(state, jax.numpy.asarray(raw))
         pending = out
         n_in += len(raw)
     if pending is not None:
-        _drain(pending, stereo, sink, wav_chunks, rds_soft, if_chunks)
+        _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks)
     sink.close()  # joins the native writer thread after draining its ring
 
     if args.profile:
@@ -177,10 +180,9 @@ def main(argv: list[str] | None = None) -> int:
         save_state(args.save_state, state)
         print(f"Saved state to {args.save_state}", file=sys.stderr)
 
-    if rds and rds_soft:
-        from sdr_tpu.rds import decode_rds_soft
-        info = decode_rds_soft(np.concatenate(rds_soft), cfg.rds_sps)
-        print(f"RDS: PI={info.pi:#06x} PTY={info.pty_name!r} "
+    if rds_decoder is not None:
+        info = rds_decoder.info
+        print(f"RDS final: PI={info.pi:#06x} PTY={info.pty_name!r} "
               f"PS={info.ps_name!r} RT={info.radio_text.rstrip()!r} "
               f"({info.groups_seen} groups)"
               if info.pi is not None else "RDS: no sync", file=sys.stderr)
@@ -375,7 +377,7 @@ def _audio_sink(fout):
     return _SyncSink(fout)
 
 
-def _drain(out, stereo, sink, wav_chunks, rds_soft, if_chunks):
+def _drain(out, stereo, sink, wav_chunks, rds_decoder, if_chunks):
     from sdr_tpu.io.stream import interleave_stereo_s16, pack_s16
     if stereo:
         pcm = np.asarray(interleave_stereo_s16(out["left"], out["right"]))
@@ -383,8 +385,17 @@ def _drain(out, stereo, sink, wav_chunks, rds_soft, if_chunks):
         pcm = np.asarray(pack_s16(out["mono"]))
     sink.write(pcm.astype("<i2").tobytes())
     wav_chunks.append(pcm)
-    if "rds_soft" in out:
-        rds_soft.append(np.asarray(out["rds_soft"]))
+    if rds_decoder is not None and "rds_soft" in out:
+        # streaming decode: O(1) carried state, PI/PS/RT updates as groups
+        # arrive (rds/streaming.py) instead of an end-of-capture batch
+        if rds_decoder.push(np.asarray(out["rds_soft"])):
+            info = rds_decoder.info
+            print(f"RDS: PI={info.pi:#06x} PTY={info.pty_name!r} "
+                  f"PS={info.ps_name!r} RT={info.radio_text.rstrip()!r} "
+                  f"({info.groups_seen} groups"
+                  + (f", {rds_decoder.bits_corrected} bits corrected)"
+                     if rds_decoder.bits_corrected else ")"),
+                  file=sys.stderr)
     if "fm_demod" in out:
         if_chunks.append(np.asarray(out["fm_demod"]))
 

@@ -10,9 +10,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from sdr_tpu.rds.app import StationInfo, decode_groups
+from sdr_tpu.rds.app import StationInfo, decode_groups, update_info
 from sdr_tpu.rds.decode import biphase_decode, differential_decode
 from sdr_tpu.rds.framing import extract_groups
+from sdr_tpu.rds.streaming import StreamingRdsDecoder
 from sdr_tpu.rds.timing import recover_symbols
 
 
@@ -25,6 +26,6 @@ def decode_rds_soft(soft: np.ndarray, sps: int) -> StationInfo:
     return decode_groups(groups)
 
 
-__all__ = ["StationInfo", "decode_groups", "biphase_decode",
+__all__ = ["StationInfo", "decode_groups", "update_info", "biphase_decode",
            "differential_decode", "extract_groups", "recover_symbols",
-           "decode_rds_soft"]
+           "decode_rds_soft", "StreamingRdsDecoder"]

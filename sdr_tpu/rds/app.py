@@ -38,33 +38,44 @@ class StationInfo:
         return PTY_NAMES_NA[self.pty] if self.pty is not None else None
 
 
+def update_info(info: StationInfo, g: Group) -> StationInfo:
+    """Fold ONE synchronized group into station info (in place).
+
+    The incremental form of decode_groups — the streaming decoder
+    (rds/streaming.py) applies it as groups arrive so PI/PS/RT are live
+    mid-stream instead of only at end-of-capture.
+    """
+    b1, b2, b3, b4 = g.blocks
+    hdr = parse_header(b1, b2)
+    info.pi = hdr.pi
+    info.pty = hdr.pty
+    info.groups_seen += 1
+    if hdr.group_type == 0 and not hdr.version_b:
+        seg = hdr.payload5 & 3
+        ps = list(info.ps_name)
+        ps[2 * seg] = chr((b4 >> 8) & 0xFF)
+        ps[2 * seg + 1] = chr(b4 & 0xFF)
+        info.ps_name = "".join(ps)
+        info.ps_segments += 1
+    elif hdr.group_type == 2 and not hdr.version_b:
+        seg = hdr.payload5 & 0xF
+        chars = [(b3 >> 8) & 0xFF, b3 & 0xFF, (b4 >> 8) & 0xFF, b4 & 0xFF]
+        rt = list(info.radio_text)
+        for j, c in enumerate(chars):
+            rt[4 * seg + j] = chr(c)
+        info.radio_text = "".join(rt)
+        info.rt_segments += 1
+    elif hdr.group_type == 4 and not hdr.version_b:
+        mjd = ((hdr.payload5 & 3) << 15) | ((b3 >> 1) & 0x7FFF)
+        hour = ((b3 & 1) << 4) | ((b4 >> 12) & 0xF)
+        minute = (b4 >> 6) & 0x3F
+        info.clock = (mjd, hour, minute)
+    return info
+
+
 def decode_groups(groups: list[Group]) -> StationInfo:
     """Fold a synchronized group stream into station info."""
     info = StationInfo()
-    ps = list(info.ps_name)
-    rt = list(info.radio_text)
     for g in groups:
-        b1, b2, b3, b4 = g.blocks
-        hdr = parse_header(b1, b2)
-        info.pi = hdr.pi
-        info.pty = hdr.pty
-        info.groups_seen += 1
-        if hdr.group_type == 0 and not hdr.version_b:
-            seg = hdr.payload5 & 3
-            ps[2 * seg] = chr((b4 >> 8) & 0xFF)
-            ps[2 * seg + 1] = chr(b4 & 0xFF)
-            info.ps_segments += 1
-        elif hdr.group_type == 2 and not hdr.version_b:
-            seg = hdr.payload5 & 0xF
-            chars = [(b3 >> 8) & 0xFF, b3 & 0xFF, (b4 >> 8) & 0xFF, b4 & 0xFF]
-            for j, c in enumerate(chars):
-                rt[4 * seg + j] = chr(c)
-            info.rt_segments += 1
-        elif hdr.group_type == 4 and not hdr.version_b:
-            mjd = ((hdr.payload5 & 3) << 15) | ((b3 >> 1) & 0x7FFF)
-            hour = ((b3 & 1) << 4) | ((b4 >> 12) & 0xF)
-            minute = (b4 >> 6) & 0x3F
-            info.clock = (mjd, hour, minute)
-    info.ps_name = "".join(ps)
-    info.radio_text = "".join(rt)
+        update_info(info, g)
     return info
