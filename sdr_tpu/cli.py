@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--psd-dump", default=None,
                    help="write a Bartlett PSD .dat of the demodulated IF "
                         "for gnuplot inspection (basename, .dat appended)")
+    p.add_argument("--psd-anim", default=None,
+                   help="write a per-block PSD .dat SERIES of the "
+                        "demodulated IF (basename; frames = gnuplot "
+                        "indices, rendered by examples/psd_anim.gnuplot)")
+    p.add_argument("--psd-anim-every", type=int, default=10,
+                   help="emit one PSD frame per N reference blocks "
+                        "(default 10)")
     p.add_argument("--stats", action="store_true",
                    help="print throughput stats to stderr")
     p.add_argument("--save-state", default=None,
@@ -109,8 +116,8 @@ def main(argv: list[str] | None = None) -> int:
                  else "chunked")
     fast = (dict(fused_frontend="bf16", pll_impl=_pll_fast, pll_chunk=32)
             if args.fast else {})
-    rx = Receiver(args.mode, stereo=stereo, rds=rds,
-                  emit_if=args.psd_dump is not None, **fast)
+    want_if = args.psd_dump is not None or args.psd_anim is not None
+    rx = Receiver(args.mode, stereo=stereo, rds=rds, emit_if=want_if, **fast)
     state = rx.init_state()
     if args.resume:
         from sdr_tpu.utils.checkpoint import load_state
@@ -128,7 +135,9 @@ def main(argv: list[str] | None = None) -> int:
     if rds:
         from sdr_tpu.rds.streaming import StreamingRdsDecoder
         rds_decoder = StreamingRdsDecoder(cfg.rds_sps)
-    if_chunks: list[np.ndarray] = []
+    if_chunks = [] if args.psd_dump else None
+    psd_anim = (_PsdAnim(args.psd_anim, cfg, args.psd_anim_every)
+                if args.psd_anim else None)
     n_in = 0
     t0 = time.perf_counter()
     pending = None  # double buffering: overlap host read with device compute
@@ -137,12 +146,14 @@ def main(argv: list[str] | None = None) -> int:
         jax.profiler.start_trace(args.profile)
     for raw in _block_source(fin, block_size):
         if pending is not None:
-            _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks)
+            _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks,
+                   psd_anim)
         state, out = step(state, jax.numpy.asarray(raw))
         pending = out
         n_in += len(raw)
     if pending is not None:
-        _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks)
+        _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks,
+               psd_anim)
     sink.close()  # joins the native writer thread after draining its ring
 
     if args.profile:
@@ -165,6 +176,11 @@ def main(argv: list[str] | None = None) -> int:
             frames = audio
         wavio.write_wav(args.wav, cfg.audio_fs, frames)
         print(f"Wrote {args.wav}", file=sys.stderr)
+
+    if psd_anim is not None:
+        nframes = psd_anim.close()
+        print(f"Wrote {args.psd_anim}.dat ({nframes} PSD frames; render "
+              "with examples/psd_anim.gnuplot)", file=sys.stderr)
 
     if args.psd_dump and if_chunks:
         from sdr_tpu.ops.fourier import estimate_psd
@@ -377,7 +393,8 @@ def _audio_sink(fout):
     return _SyncSink(fout)
 
 
-def _drain(out, stereo, sink, wav_chunks, rds_decoder, if_chunks):
+def _drain(out, stereo, sink, wav_chunks, rds_decoder, if_chunks,
+           psd_anim=None):
     from sdr_tpu.io.stream import interleave_stereo_s16, pack_s16
     if stereo:
         pcm = np.asarray(interleave_stereo_s16(out["left"], out["right"]))
@@ -397,7 +414,47 @@ def _drain(out, stereo, sink, wav_chunks, rds_decoder, if_chunks):
                      if rds_decoder.bits_corrected else ")"),
                   file=sys.stderr)
     if "fm_demod" in out:
-        if_chunks.append(np.asarray(out["fm_demod"]))
+        if if_chunks is not None:
+            if_chunks.append(np.asarray(out["fm_demod"]))
+        if psd_anim is not None:
+            psd_anim.push(np.asarray(out["fm_demod"]))
+
+
+class _PsdAnim:
+    """Per-block PSD frame emitter (P6 animated-PSD parity,
+    model/fmMonoAnim.py): one Bartlett PSD of the demodulated IF every
+    `every` reference blocks, appended to a gnuplot index-addressable .dat
+    series (io/logger.py PsdAnimWriter)."""
+
+    def __init__(self, base: str, cfg, every: int):
+        self.base = base
+        self.every = max(1, every)
+        self.block_if = cfg.block_size_u8 // (2 * cfg.rf_decim)
+        self.fs = float(cfg.if_fs)
+        self.count = 0
+        self.writer = None
+
+    def push(self, fm_demod: np.ndarray) -> None:
+        import jax.numpy as jnp
+        from sdr_tpu.ops.fourier import estimate_psd
+        from sdr_tpu.io.logger import PsdAnimWriter
+        nb = len(fm_demod) // self.block_if
+        for b in range(nb):
+            idx = self.count + b
+            if idx % self.every:
+                continue
+            seg = fm_demod[b * self.block_if:(b + 1) * self.block_if]
+            freq, psd = estimate_psd(jnp.asarray(seg), fs=self.fs)
+            if self.writer is None:
+                self.writer = PsdAnimWriter(self.base, freq / 1e3)
+            self.writer.append(np.asarray(psd), label=f"block {idx}")
+        self.count += nb
+
+    def close(self) -> int:
+        if self.writer is None:
+            return 0
+        self.writer.close()
+        return self.writer.frames
 
 
 if __name__ == "__main__":

@@ -32,6 +32,36 @@ def log_vector(filename: str, x: np.ndarray, y: np.ndarray) -> None:
             f.write(f"{xi:.5f}\t{yi:.5f}\n")
 
 
+class PsdAnimWriter:
+    """Streaming multi-frame PSD .dat writer (the P6 animated-PSD parity,
+    reference model/fmMonoAnim.py:42-135).
+
+    Frames are separated by two blank lines so gnuplot's `index` keyword
+    addresses frame k directly — the format examples/psd_anim.gnuplot
+    renders into an animated GIF.  Appends incrementally: O(1) host memory
+    on unbounded streams.
+    """
+
+    def __init__(self, filename: str, freq: np.ndarray):
+        self._freq = np.asarray(freq).ravel()
+        self._f = open(f"{filename}.dat", "w")
+        self._f.write("# animated PSD series; frame k = gnuplot index k\n")
+        self._f.write("# x: frequency (kHz)  y: PSD (dB/Hz)\n")
+        self.frames = 0
+
+    def append(self, psd_db: np.ndarray, label: str | None = None) -> None:
+        psd_db = np.asarray(psd_db).ravel()
+        self._f.write(f"# frame {self.frames}"
+                      + (f" ({label})" if label else "") + "\n")
+        np.savetxt(self._f, np.column_stack([self._freq, psd_db]),
+                   fmt="%.5f", delimiter="\t")
+        self._f.write("\n\n")
+        self.frames += 1
+
+    def close(self) -> None:
+        self._f.close()
+
+
 @contextlib.contextmanager
 def stage_scope(name: str):
     """Named profiling scope: shows up in jax.profiler traces and records

@@ -231,6 +231,53 @@ def test_cli_stereo_wav_channel_order(tmp_path):
             > band_power_db(l, rate, 2500.0, skip=skip) + 6)
 
 
+def test_cli_psd_anim(tmp_path):
+    """--psd-anim writes a gnuplot index-addressable multi-frame PSD series
+    (P6 animated-PSD parity, reference model/fmMonoAnim.py) and the shipped
+    script renders it when gnuplot is available."""
+    import shutil
+    import subprocess
+    from sdr_tpu.cli import main
+    cfg = MODES[0]
+    n = int(0.2 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.2,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    inp = str(tmp_path / "cap.raw")
+    base = str(tmp_path / "anim")
+    cap.tofile(inp)
+    rc = main(["0", "1", "--in", inp, "--out", str(tmp_path / "a.raw"),
+               "--psd-anim", base, "--psd-anim-every", "5",
+               "--blocks-per-step", "5"])
+    assert rc == 0
+    text = open(base + ".dat").read()
+    # frames are double-blank-line separated (gnuplot `index` convention)
+    frames = [f for f in text.split("\n\n\n") if "# frame" in f]
+    assert len(frames) >= 10, f"expected >=10 frames, got {len(frames)}"
+    # every frame is a full (freq, psd) table at IF/2 bandwidth in kHz
+    for fr in frames[:3]:
+        rows = [ln for ln in fr.splitlines()
+                if ln and not ln.startswith("#")]
+        cols = np.array([ln.split("\t") for ln in rows], dtype=np.float64)
+        assert cols.shape[1] == 2
+        assert abs(cols[-1, 0] - cfg.if_fs / 2e3) < cfg.if_fs / 1e3 / 256
+        assert np.all(np.isfinite(cols[:, 1]))
+    # the 1 kHz mono tone must appear in the demod PSD of a later frame
+    freqs, psd = cols[:, 0], cols[:, 1]
+    tone_bin = np.argmin(np.abs(freqs - 1.0))
+    assert psd[tone_bin] > np.median(psd) + 10
+    # headless render via the shipped script (skipped if gnuplot absent)
+    if shutil.which("gnuplot"):
+        gif = str(tmp_path / "anim.gif")
+        r = subprocess.run(
+            ["gnuplot", "-e",
+             f"datfile='{base}.dat'; outfile='{gif}'",
+             "examples/psd_anim.gnuplot"],
+            capture_output=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr.decode()
+        assert os.path.getsize(gif) > 1000
+
+
 def test_cli_profile_trace(tmp_path):
     """--profile writes a jax.profiler trace directory."""
     from sdr_tpu.cli import main
