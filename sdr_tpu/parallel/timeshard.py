@@ -12,8 +12,20 @@ and drops the warm-up outputs.  Bit-identical to the sequential scan
 (verified in tests/test_parallel.py) with one neighbor exchange per step —
 the ICI-riding pattern the SNIPPETS right-permute kernel demonstrates.
 
-The stereo/RDS chains carry a true sequential recurrence (PLL); those scale
-across channels (parallel/channels.py), not time — SURVEY §7 step 7.
+The stereo chain carries a true sequential recurrence (the pilot PLL), but
+the recurrence is *self-forgetting*: a type-2 PLL locked to the pilot tone
+converges to a state determined by the input signal, not by its initial
+conditions (lock-in for bw=0.01 at 240 kHz IF is ~1-2 ms ~= 300-500 IF
+samples).  `timesharded_stereo` therefore extends each device's left halo
+by a PLL warm-up region: every device runs the full stereo chain from a
+cold state over (warm-up + chunk), locks during the warm-up, and drops the
+warm-up outputs.  No inter-device PLL state handoff — devices run fully in
+parallel — at the cost of `warmup_if` redundant IF samples per device.
+Equivalence to the serial scan is behavioral (stereo separation / stream
+SNR within tolerance, tests/test_parallel.py), not bit-exact: the dropped
+transient differs.  RDS could shard the same way (its carrier PLL
+bw=0.003 needs a ~4x longer warm-up); the host-side frame sync consumes
+the concatenated soft stream unchanged.
 """
 
 from __future__ import annotations
@@ -92,5 +104,67 @@ def timesharded_mono(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "time"):
         _, out = rx.step(state, extended)
         audio = out["mono"][warm_audio:]
         return audio
+
+    return jax.jit(run_shard)(iq)
+
+
+def stereo_warmup_if(rx: Receiver, warmup_if: int = 4096) -> int:
+    """Left-halo depth (IF samples) for the time-sharded stereo chain:
+    FIR/discriminator context + BPF group delay + mono delay line + PLL
+    lock-in, rounded so (a) the polyphase output grid and fused-front-end
+    tile stay aligned and (b) the pilot NCO's free-run phase over the
+    zero-filled device-0 halo is a whole number of cycles (keeps device 0
+    near-identical to the serial cold start)."""
+    cfg = rx.cfg
+    ia = _if_align(rx)
+    ctx = (halo_if(cfg, 1) + cfg.bp_taps
+           + cfg.mono_delay * cfg.audio_decim // cfg.audio_interp + warmup_if)
+    unit = int(np.lcm(int(np.lcm(cfg.audio_decim, ia)),
+                      int(cfg.if_fs) // int(np.gcd(int(cfg.pilot_freq),
+                                                   int(cfg.if_fs)))))
+    return -(-ctx // unit) * unit
+
+
+def timesharded_stereo(rx: Receiver, iq_u8, mesh: Mesh, *,
+                       axis: str = "time", warmup_if: int = 4096):
+    """Stereo-decode a single station's u8 stream with time sharded over
+    the mesh — extends timesharded_mono past its PLL limit via warm-up
+    halos (see module docstring).
+
+    iq_u8: (n,) u8, n divisible by devices * the per-device alignment.
+    Returns (left, right), behaviorally equivalent to
+    rx.run(iq_u8)['left'/'right'] (stereo separation / SNR within
+    tolerance after the initial serial lock-in transient).
+    """
+    cfg = rx.cfg
+    assert rx.stereo and not rx.rds, "stereo time-sharding (RDS: see doc)"
+    n_dev = mesh.shape[axis]
+    n = iq_u8.shape[-1]
+    chunk_u8 = n // n_dev
+    ia = _if_align(rx)
+    align = 2 * cfg.rf_decim * int(np.lcm(cfg.audio_decim, ia))
+    assert chunk_u8 % align == 0, (
+        f"per-device chunk {chunk_u8} not aligned to {align}")
+    warm_if = stereo_warmup_if(rx, warmup_if)
+    halo_u8 = 2 * cfg.rf_decim * warm_if
+    assert chunk_u8 >= halo_u8, (
+        f"chunk {chunk_u8} u8 shorter than the warm-up halo {halo_u8}")
+    warm_audio = warm_if * cfg.audio_interp // cfg.audio_decim
+
+    iq = jax.device_put(np.asarray(iq_u8), NamedSharding(mesh, P(axis)))
+
+    @partial(shard_map, mesh=mesh, in_specs=P(axis),
+             out_specs=(P(axis), P(axis)), check_vma=False)
+    def run_shard(local):
+        local = local.reshape(-1)
+        tail = local[-halo_u8:]
+        halo = jax.lax.ppermute(tail, axis,
+                                perm=[(i, i + 1) for i in range(n_dev - 1)])
+        idx = jax.lax.axis_index(axis)
+        halo = jnp.where(idx == 0, jnp.uint8(128), halo)
+        extended = jnp.concatenate([halo, local])
+        state = rx.init_state()
+        _, out = rx.step(state, extended)
+        return out["left"][warm_audio:], out["right"][warm_audio:]
 
     return jax.jit(run_shard)(iq)

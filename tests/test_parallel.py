@@ -9,7 +9,7 @@ from sdr_tpu.config import MODES
 from sdr_tpu.models.receiver import Receiver
 from sdr_tpu.parallel.channels import sharded_run
 from sdr_tpu.parallel.mesh import make_mesh
-from sdr_tpu.parallel.timeshard import timesharded_mono
+from sdr_tpu.parallel.timeshard import timesharded_mono, timesharded_stereo
 from sdr_tpu import tx
 
 
@@ -75,3 +75,45 @@ def test_timeshard_mono_exact(mode):
     serial, _ = rx.run(cap)
     np.testing.assert_allclose(np.asarray(audio_p),
                                np.asarray(serial["mono"]), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_timeshard_stereo():
+    """PLL warm-up halo time-sharding of the stereo chain: behaviorally
+    equivalent to the serial scan (stream SNR + stereo separation within
+    tolerance after the serial lock-in transient) — VERDICT item 5,
+    extending timesharded_mono past its former PLL limit."""
+    from sdr_tpu.parallel.timeshard import stereo_warmup_if
+    from sdr_tpu.utils.compare import stereo_separation_db, stream_snr_db
+
+    cfg = MODES[0]
+    rx = Receiver(0, stereo=True)
+    mesh = make_mesh(8, "time")
+    warm_if = stereo_warmup_if(rx)
+    # chunks must cover the warm-up halo: ~1.6 s capture -> 8 x 0.2 s chunks
+    align = 8 * 2 * cfg.rf_decim * cfg.audio_decim
+    n = ((int(1.6 * cfg.rf_fs) * 2) // align) * align
+    left = tx.tone(cfg.rf_fs, 1000.0, n // 2)
+    right = tx.tone(cfg.rf_fs, 2500.0, n // 2)
+    cap = tx.synthesize_capture(cfg, seconds=n / 2 / cfg.rf_fs,
+                                left=left, right=right)[:n]
+    assert (n // 8) >= 2 * cfg.rf_decim * warm_if
+
+    l_p, r_p = timesharded_stereo(rx, cap, mesh)
+    serial, _ = rx.run(cap)
+    l_s, r_s = np.asarray(serial["left"]), np.asarray(serial["right"])
+    assert l_p.shape == l_s.shape and r_p.shape == r_s.shape
+
+    # skip the serial cold-start lock-in (device 0 warms differently)
+    skip = int(0.2 * cfg.audio_fs)
+    snr_l = stream_snr_db(np.asarray(l_p), l_s, skip=skip)
+    snr_r = stream_snr_db(np.asarray(r_p), r_s, skip=skip)
+    assert snr_l > 30 and snr_r > 30, (snr_l, snr_r)
+
+    # the sharded decode preserves stereo separation within 2 dB of serial
+    fs = float(cfg.audio_fs)
+    sep_p = stereo_separation_db(np.asarray(l_p), np.asarray(r_p), fs,
+                                 1000.0, skip=skip)
+    sep_s = stereo_separation_db(l_s, r_s, fs, 1000.0, skip=skip)
+    assert sep_s > 20
+    assert sep_p > sep_s - 2.0, (sep_p, sep_s)
