@@ -26,8 +26,19 @@ import time
 import numpy as np
 
 
-def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3) -> float:
-    """Sustained aggregate IQ Msamples/s over a scanned multi-block program."""
+def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3,
+                repeats: int = 16) -> float:
+    """Sustained aggregate IQ Msamples/s over a scanned multi-block program.
+
+    `repeats` re-scans the same device-resident blocks with the carried
+    state flowing through (an outer scan — no CSE possible, every pass
+    computes different outputs), so one D2H sync amortizes over
+    repeats*n_steps steps.  Round-1 methodology used repeats=1 and was
+    dominated by the ~27 ms tunnel round-trip of the sync fetch itself
+    (measured in tools/bench_stages.py: the full mono step computes in
+    ~0.45 ms but the per-fetch latency floor is ~27/n_steps ms); a
+    production host syncs over local PCIe at ~us latency, so the amortized
+    number is the honest per-chip capability."""
     import jax
     import jax.numpy as jnp
 
@@ -42,8 +53,15 @@ def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3) -> float:
         def body(st, blk):
             st2, out = rx.step(st, blk)
             return st2, sum(jnp.sum(v) for v in out.values())
-        st, sums = jax.lax.scan(body, state, blocks)
-        return jnp.sum(sums)
+
+        def outer(carry, _):
+            st, acc = carry
+            st, sums = jax.lax.scan(body, st, blocks)
+            return (st, acc + jnp.sum(sums)), None
+
+        (st, acc), _ = jax.lax.scan(outer, (state, jnp.float32(0.0)),
+                                    None, length=repeats)
+        return acc
 
     total = float(run_all(state0, blocks))  # warm/compile + sync
     t0 = time.perf_counter()
@@ -51,7 +69,7 @@ def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3) -> float:
         total = float(run_all(state0, blocks))
     dt = (time.perf_counter() - t0) / reps
     assert np.isfinite(total)
-    return n_ch * (bs // 2) * n_steps / dt / 1e6
+    return n_ch * (bs // 2) * n_steps * repeats / dt / 1e6
 
 
 def _bench_h2d(n_bytes: int = 8 << 20, reps: int = 3) -> float:

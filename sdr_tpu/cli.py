@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freqs", default=None,
                    help="comma-separated station offsets in Hz for "
                         "--wideband (e.g. -1500000,0,1800000)")
+    p.add_argument("--wideband-u8", action="store_true",
+                   help="the --wideband capture is interleaved u8 IQ "
+                        "((x-128)/128 decode on device) instead of f32")
     p.add_argument("--scan", action="store_true",
                    help="with --wideband: auto-detect station offsets from "
                         "the capture's spectrum instead of --freqs")
@@ -206,14 +209,15 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run_wideband(args, cfg, stereo, rds):
-    """Channelize a wideband f32 complex capture into N stations and decode
-    them all in one batched program (ops/channelizer.py + Receiver.step_iq)."""
+    """Channelize a wideband complex capture into N stations and decode them
+    all in ONE fused scanned program (models/wideband.py WidebandReceiver),
+    streaming the file block-wise so captures larger than RAM work."""
     import os
     import sys as _sys
     import jax
-    import jax.numpy as jnp
     import numpy as np
     from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu.models.wideband import WidebandReceiver
     from sdr_tpu.ops.channelizer import WidebandChannelizer
     from sdr_tpu.io import wav as wavio
 
@@ -222,13 +226,26 @@ def _run_wideband(args, cfg, stereo, rds):
               file=_sys.stderr)
         return 1
     fs_wide = args.wideband
-    raw = np.fromfile(args.infile, dtype="<f4")
-    iw, qw = np.ascontiguousarray(raw[0::2]), np.ascontiguousarray(raw[1::2])
+    dtype = np.dtype(np.uint8) if args.wideband_u8 else np.dtype("<f4")
+    fin = open(args.infile, "rb")
+
+    def read_scalars(count):
+        buf = fin.read(count * dtype.itemsize)
+        return np.frombuffer(buf, dtype=dtype)
+
     if args.scan:
         from sdr_tpu.ops.spectrum import find_stations
-        # survey the first ~0.1 s (plenty for energy detection)
-        n_scan = min(len(iw), max(1 << 18, int(0.1 * fs_wide)))
-        freqs = find_stations(iw[:n_scan], qw[:n_scan], fs_wide,
+        # survey a ~0.1 s prefix (plenty for energy detection), then rewind
+        # so the decode stream includes it
+        n_scan = max(1 << 18, int(0.1 * fs_wide))
+        prefix = read_scalars(2 * n_scan)
+        fin.seek(0)
+        if args.wideband_u8:
+            pf = (prefix.astype(np.float32) - 128.0) / 128.0
+        else:
+            pf = prefix
+        freqs = find_stations(np.ascontiguousarray(pf[0::2]),
+                              np.ascontiguousarray(pf[1::2]), fs_wide,
                               min_snr_db=args.scan_snr,
                               max_stations=args.max_stations)
         if not freqs:
@@ -248,21 +265,24 @@ def _run_wideband(args, cfg, stereo, rds):
                 pll_impl=_pll_fast if args.fast else "auto",
                 pll_chunk=32)
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
+    wrx = WidebandReceiver(chan, rx)
     print(f"Channelizing {len(freqs)} stations from {fs_wide/1e6:.1f} MS/s "
-          f"wideband ({len(iw)/fs_wide:.2f} s)", file=_sys.stderr)
+          f"wideband ({dtype.name} stream)", file=_sys.stderr)
 
-    # per-station block sizing honors all alignments (incl. RDS symbols)
-    station_pairs = rx.block_size_u8(args.blocks_per_step) // 2
-    block_wide = station_pairs * chan.decim
-    cstate = chan.init_state()
-    rstate = rx.init_state((len(freqs),))
-    step_iq = jax.jit(rx.step_iq)
+    def file_chunks():
+        # stream the capture: bounded read-ahead, never the whole file
+        chunk = wrx.block_wide(args.blocks_per_step)
+        while True:
+            data = read_scalars(chunk)
+            if len(data) == 0:
+                return
+            yield data
+
     audio, rds_soft = [], []
-    for b in range(len(iw) // block_wide):
-        sl = slice(b * block_wide, (b + 1) * block_wide)
-        (i_st, q_st), cstate = chan(jnp.asarray(iw[sl]), jnp.asarray(qw[sl]),
-                                    cstate)
-        rstate, out = step_iq(rstate, i_st, q_st)
+    n_wide = 0
+    for out, _state in wrx.stream(file_chunks(),
+                                  blocks_per_step=args.blocks_per_step,
+                                  scan_steps=4):
         if stereo:
             audio.append(np.stack([np.asarray(out["left"]),
                                    np.asarray(out["right"])], axis=-1))
@@ -270,6 +290,8 @@ def _run_wideband(args, cfg, stereo, rds):
             audio.append(np.asarray(out["mono"]))
         if "rds_soft" in out:
             rds_soft.append(np.asarray(out["rds_soft"]))
+        n_wide += 1
+    fin.close()
     if not audio:
         print("capture shorter than one block", file=_sys.stderr)
         return 1

@@ -174,12 +174,25 @@ class Receiver:
         else:
             self.audio_resampler = PolyphaseResampler(
                 audio_coeff, cfg.audio_interp, cfg.audio_decim)
+        # one conv for ALL the IF band-pass stages reading fm_demod: stereo
+        # channel 22-54k + pilot 18.5-19.5k + RDS channel 54-60k share the
+        # input stream and tail semantics (reference runs them as separate
+        # resample calls, src/project.cpp:162-165,245) — fusing them means
+        # fm_demod is read once instead of three times
+        self.if_bpf3 = None
         if stereo:
             chan_coeff = firdes.bandpass(if_fs, cfg.stereo_lo, cfg.stereo_hi,
                                          cfg.bp_taps)
             pilot_coeff = firdes.bandpass(if_fs, cfg.pilot_lo, cfg.pilot_hi,
                                           cfg.bp_taps)
-            if filter_engine == "direct":
+            if filter_engine == "direct" and rds:
+                from sdr_tpu.ops.resample import MultiFIR
+                rds_chan3 = firdes.bandpass(if_fs, cfg.rds_lo, cfg.rds_hi,
+                                            cfg.bp_taps)
+                self.if_bpf3 = MultiFIR([chan_coeff, pilot_coeff, rds_chan3])
+                self.stereo_bpf = None
+                self.channel_filter = self.carrier_filter = None
+            elif filter_engine == "direct":
                 # one conv, two output channels: channel + pilot BPFs share
                 # the input stream and tail (ops/resample.py MultiFIR)
                 from sdr_tpu.ops.resample import MultiFIR
@@ -204,7 +217,8 @@ class Receiver:
             rds_lpf = firdes.lowpass(if_fs * u, cfg.rds_fc, cfg.bp_taps * u, u)
             rrc = firdes.root_raised_cosine(cfg.rds_fs, rds_rrc_taps,
                                             cfg.rds_symbol_rate)
-            self.rds_channel_filter = _dec_filter(rds_chan)
+            self.rds_channel_filter = (None if self.if_bpf3 is not None
+                                       else _dec_filter(rds_chan))
             self.rds_carrier_filter = _dec_filter(rds_carr)
             self.rds_resampler = PolyphaseResampler(rds_lpf, u, d)
             self.rds_rrc = _dec_filter(rrc)
@@ -215,6 +229,12 @@ class Receiver:
             # need d | n_if and sps | n_if*u/d.
             g = np.gcd(cfg.rds_sps, u)
             self.rds_if_align = d * cfg.rds_sps // g
+        # batch the stereo pilot PLL and the RDS carrier PLL into ONE
+        # Pallas launch (different freq/scale/bandwidth ride the lane axis,
+        # ops/pallas/pll_kernel.py pll_pallas_chunked_multi): the recurrence
+        # is latency-bound, so the widened rows are nearly free
+        self._joint_pll = (stereo and rds and pll_impl == "pallas_chunked"
+                           and not compat_pll)
 
     # ------------------------------------------------------------------ state
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> ReceiverState:
@@ -238,7 +258,12 @@ class Receiver:
                          deemph=jnp.zeros(batch_shape, f32))
         stereo = None
         if self.stereo:
-            if self.stereo_bpf is not None:
+            if self.if_bpf3 is not None:
+                # fused 3-filter conv: the single shared tail lives here;
+                # RdsState.channel_tail is empty (see below)
+                ch_tail = self.if_bpf3.init_state(batch_shape)
+                ca_tail = jnp.zeros(batch_shape + (0,), f32)
+            elif self.stereo_bpf is not None:
                 ch_tail = self.stereo_bpf.init_state(batch_shape)
                 ca_tail = jnp.zeros(batch_shape + (0,), f32)
             else:
@@ -256,7 +281,9 @@ class Receiver:
         rds = None
         if self.rds:
             rds = RdsState(
-                channel_tail=self.rds_channel_filter.init_state(batch_shape),
+                channel_tail=(jnp.zeros(batch_shape + (0,), f32)
+                              if self.if_bpf3 is not None else
+                              self.rds_channel_filter.init_state(batch_shape)),
                 carrier_tail=self.rds_carrier_filter.init_state(batch_shape),
                 pll=pll_init(batch_shape),
                 delay=jnp.zeros(batch_shape + (self.rds_delay,), f32),
@@ -359,13 +386,18 @@ class Receiver:
         else:
             outputs["mono"] = mono_audio
 
-        stereo_state = state.stereo
+        # --- IF band-pass extraction (fused into one conv where possible)
+        rds_channel = None
         if self.stereo:
             st = state.stereo
-            # delayed mono against BPF group delay (src/project.cpp:152-159)
-            mono_shift, mono_delay = delay_line(mono_audio, st.mono_delay)
-            # L-R DSB extraction + pilot carrier recovery (project.cpp:162-166)
-            if self.stereo_bpf is not None:
+            # L-R DSB extraction + pilot isolation (project.cpp:162-165)
+            if self.if_bpf3 is not None:
+                # stereo channel + pilot + RDS channel: ONE conv, one tail
+                (channel, pilot, rds_channel), channel_tail = self.if_bpf3(
+                    fm_demod, st.channel_tail)
+                carrier_tail = st.carrier_tail
+                rds_channel_tail = state.rds.channel_tail  # empty
+            elif self.stereo_bpf is not None:
                 (channel, pilot), channel_tail = self.stereo_bpf(
                     fm_demod, st.channel_tail)
                 carrier_tail = st.carrier_tail
@@ -374,11 +406,47 @@ class Receiver:
                                                             st.channel_tail)
                 pilot, carrier_tail = self.carrier_filter(fm_demod,
                                                           st.carrier_tail)
-            nco, pll_state = self._pll(pilot, st.pll, freq=cfg.pilot_freq,
-                                       fs=cfg.if_fs, nco_scale=2.0,
-                                       phase_adjust=self.stereo_phase_adjust,
-                                       norm_bandwidth=0.01)
-            mixed = mixer(channel, nco)                    # project.cpp:169
+        if self.rds:
+            rs = state.rds
+            if rds_channel is None:
+                # channel extraction 54-60 kHz (reference src/project.cpp:245)
+                rds_channel, rds_channel_tail = self.rds_channel_filter(
+                    fm_demod, rs.channel_tail)
+            # squaring nonlinearity -> 114 kHz line (src/project.cpp:248-252)
+            squared = rds_channel * rds_channel
+            rds_carrier_in, rds_carrier_tail = self.rds_carrier_filter(
+                squared, rs.carrier_tail)
+
+        # --- carrier recovery: the two PLLs batch into one kernel launch
+        if self._joint_pll:
+            with jax.named_scope("pll_joint"):
+                from sdr_tpu.ops.pallas.pll_kernel import (
+                    pll_pallas_chunked_multi)
+                (nco_s, nco_r), (pll_s, pll_r) = pll_pallas_chunked_multi(
+                    (pilot, rds_carrier_in), (st.pll, rs.pll),
+                    params=((float(cfg.pilot_freq), float(cfg.if_fs), 2.0,
+                             float(self.stereo_phase_adjust), 0.01),
+                            (float(cfg.rds_carrier_freq), float(cfg.if_fs),
+                             0.5, 0.0, float(self.rds_pll_bandwidth))),
+                    chunk=self.pll_chunk,
+                    interpret=jax.default_backend() != "tpu")
+        else:
+            if self.stereo:
+                nco_s, pll_s = self._pll(pilot, st.pll, freq=cfg.pilot_freq,
+                                         fs=cfg.if_fs, nco_scale=2.0,
+                                         phase_adjust=self.stereo_phase_adjust,
+                                         norm_bandwidth=0.01)
+            if self.rds:
+                nco_r, pll_r = self._pll(rds_carrier_in, rs.pll,
+                                         freq=cfg.rds_carrier_freq,
+                                         fs=cfg.if_fs, nco_scale=0.5,
+                                         norm_bandwidth=self.rds_pll_bandwidth)
+
+        stereo_state = state.stereo
+        if self.stereo:
+            # delayed mono against BPF group delay (src/project.cpp:152-159)
+            mono_shift, mono_delay = delay_line(mono_audio, st.mono_delay)
+            mixed = mixer(channel, nco_s)                  # project.cpp:169
             if self.compat_shared_audio_state:
                 # reference defect: stereo resample continues the mono tail
                 stereo_audio, audio_tail = self.audio_resampler(mixed, audio_tail)
@@ -396,7 +464,7 @@ class Receiver:
                                                   alpha=self.deemph_alpha)
             outputs["left"] = left
             outputs["right"] = right
-            stereo_state = StereoState(channel_tail, carrier_tail, pll_state,
+            stereo_state = StereoState(channel_tail, carrier_tail, pll_s,
                                        mono_delay, stereo_audio_tail,
                                        deemph_l, deemph_r)
 
@@ -404,28 +472,16 @@ class Receiver:
 
         rds_state = state.rds
         if self.rds:
-            rs = state.rds
-            # channel extraction 54-60 kHz (reference src/project.cpp:245)
-            channel, channel_tail = self.rds_channel_filter(fm_demod,
-                                                            rs.channel_tail)
-            # squaring nonlinearity -> 114 kHz line (src/project.cpp:248-252)
-            squared = channel * channel
-            carrier_in, carrier_tail = self.rds_carrier_filter(squared,
-                                                               rs.carrier_tail)
-            nco, pll_state = self._pll(carrier_in, rs.pll,
-                                       freq=cfg.rds_carrier_freq,
-                                       fs=cfg.if_fs, nco_scale=0.5,
-                                       norm_bandwidth=self.rds_pll_bandwidth)
             # all-pass delay aligning channel to carrier (src/project.cpp:260-266)
-            chan_delayed, delay = delay_line(channel, rs.delay)
-            baseband = mixer(nco, chan_delayed)            # src/project.cpp:269
+            chan_delayed, delay = delay_line(rds_channel, rs.delay)
+            baseband = mixer(nco_r, chan_delayed)          # src/project.cpp:269
             # ---- beyond the reference code: spec pp.13-14 chain ----
             resampled, lpf_tail = self.rds_resampler(baseband,
                                                      rs.lpf_resamp_tail)
             soft, rrc_tail = self.rds_rrc(resampled, rs.rrc_tail)
             outputs["rds_soft"] = soft
-            rds_state = RdsState(channel_tail, carrier_tail, pll_state, delay,
-                                 lpf_tail, rrc_tail)
+            rds_state = RdsState(rds_channel_tail, rds_carrier_tail, pll_r,
+                                 delay, lpf_tail, rrc_tail)
 
         new_state = ReceiverState(front=front, mono=mono_state,
                                   stereo=stereo_state, rds=rds_state)

@@ -110,7 +110,10 @@ class WidebandChannelizer:
                     * (np.arange(c, dtype=np.float64) * stride + 1.0)[None, :]
                     ) % (2.0 * np.pi)
             adv = (self._dphi * (n * stride)) % (2.0 * np.pi)
-            j = lambda x: jnp.asarray(x, jnp.float32)
+            # cache HOST arrays: a jnp.asarray here would produce a tracer
+            # when the first call happens inside an enclosing jit trace
+            # (e.g. models/wideband.py's scanned step) and poison the cache
+            j = lambda x: np.asarray(x, np.float32)
             self._ramp_cache[key] = (
                 (j(np.cos(row)), j(np.sin(row))),
                 (j(np.cos(base)), j(np.sin(base))),

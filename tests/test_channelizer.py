@@ -206,3 +206,122 @@ def test_cli_wideband_mode(tmp_path):
         snr = tone_snr_db(data.astype(np.float64), rate, 800.0 + 500.0 * k,
                           skip=2000)
         assert snr > 18.0, f"station {k}: {snr:.1f} dB"
+
+
+# ------------------------------------------------- fused streaming receiver
+def _two_station_wide(secs=0.15, a_scale=0.5):
+    cfg = MODES[0]
+    fs_st = float(cfg.rf_fs)
+    fs_wide = 4 * fs_st
+    freqs = [-1.5e6, +1.8e6]
+    tones = [900.0, 1700.0]
+    n = int(secs * fs_st)
+    stations = []
+    for tone_f in tones:
+        m = tx.make_multiplex(fs_st, n, mono=tx.tone(fs_st, tone_f, n))
+        i, q = tx.fm_modulate(m, fs_st)
+        stations.append((i + 1j * q) * a_scale)
+    iw, qw = synthesize_wideband(stations, freqs, fs_st, fs_wide)
+    wide = np.empty(2 * len(iw), np.float32)
+    wide[0::2], wide[1::2] = iw, qw
+    return cfg, fs_wide, freqs, tones, wide
+
+
+def test_wideband_receiver_matches_composition():
+    """One fused scanned program (models/wideband.py) == the separate
+    channelize-then-step_iq composition, bit-for-bit."""
+    from sdr_tpu.models.wideband import WidebandReceiver
+
+    cfg, fs_wide, freqs, tones, wide = _two_station_wide()
+    iw, qw = wide[0::2], wide[1::2]
+
+    chan = WidebandChannelizer(fs_wide, float(cfg.rf_fs), freqs)
+    rx = Receiver(0)
+    wrx = WidebandReceiver(chan, rx)
+    fused, _ = wrx.run(wide, blocks_per_step=2)
+
+    chan2 = WidebandChannelizer(fs_wide, float(cfg.rf_fs), freqs)
+    cstate = chan2.init_state()
+    rstate = rx.init_state((len(freqs),))
+    block_wide = wrx.block_pairs * 2
+    audio = []
+    for b in range(len(iw) // block_wide):
+        sl = slice(b * block_wide, (b + 1) * block_wide)
+        (i_st, q_st), cstate = chan2(jnp.asarray(iw[sl]),
+                                     jnp.asarray(qw[sl]), cstate)
+        rstate, out = jax.jit(rx.step_iq)(rstate, i_st, q_st)
+        audio.append(np.asarray(out["mono"]))
+    serial = np.concatenate(audio, axis=-1)
+    np.testing.assert_allclose(np.asarray(fused["mono"])[:, :serial.shape[1]],
+                               serial, atol=1e-6)
+
+
+def test_wideband_stream_chunked_equals_run():
+    """stream() re-framing arbitrary reader chunk sizes == whole-capture
+    run(): captures larger than RAM decode identically block-wise."""
+    from sdr_tpu.models.wideband import WidebandReceiver
+
+    cfg, fs_wide, freqs, tones, wide = _two_station_wide()
+    chan = WidebandChannelizer(fs_wide, float(cfg.rf_fs), freqs)
+    wrx = WidebandReceiver(chan, Receiver(0))
+    whole, _ = wrx.run(wide, blocks_per_step=1)
+
+    def awkward_chunks():
+        sizes = [100001, 37, 4 * wrx.block_wide(), 999999]
+        i = 0
+        k = 0
+        while i < len(wide):
+            sz = sizes[k % len(sizes)]
+            yield wide[i:i + sz]
+            i += sz
+            k += 1
+
+    parts = [np.asarray(out["mono"]) for out, _ in
+             wrx.stream(awkward_chunks(), scan_steps=3)]
+    streamed = np.concatenate(parts, axis=-1)
+    m = streamed.shape[-1]
+    np.testing.assert_allclose(streamed, np.asarray(whole["mono"])[:, :m],
+                               atol=1e-6)
+    assert m >= whole["mono"].shape[-1] - wrx.block_pairs // chan.decim
+
+
+def test_wideband_u8_input():
+    """u8 interleaved wideband ingest decodes on device ((x-128)/128) and
+    yields the same stations as f32 within quantization noise."""
+    from sdr_tpu.models.wideband import WidebandReceiver
+    from sdr_tpu.utils.compare import tone_snr_db
+
+    cfg, fs_wide, freqs, tones, wide = _two_station_wide(a_scale=0.35)
+    u8 = np.clip(np.round(wide * 128.0 + 128.0), 0, 255).astype(np.uint8)
+
+    chan = WidebandChannelizer(fs_wide, float(cfg.rf_fs), freqs)
+    wrx = WidebandReceiver(chan, Receiver(0))
+    out, _ = wrx.run(u8, blocks_per_step=2)
+    audio = np.asarray(out["mono"])
+    for k, tone_f in enumerate(tones):
+        snr = tone_snr_db(audio[k], cfg.audio_fs, tone_f,
+                          skip=cfg.audio_fs // 10)
+        assert snr > 20.0, f"station {k} ({tone_f} Hz): SNR {snr:.1f} dB"
+
+
+def test_cli_wideband_u8(tmp_path):
+    """--wideband --wideband-u8 end-to-end."""
+    import os
+    from sdr_tpu.cli import main
+    from sdr_tpu.io.wav import read_wav
+    from sdr_tpu.utils.compare import tone_snr_db
+
+    cfg, fs_wide, freqs, tones, wide = _two_station_wide(secs=0.3,
+                                                         a_scale=0.35)
+    u8 = np.clip(np.round(wide * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    inp = str(tmp_path / "wide.u8")
+    u8.tofile(inp)
+    wav_dir = str(tmp_path / "wavs")
+    rc = main(["0", "1", "--wideband", str(fs_wide), "--wideband-u8",
+               "--freqs=" + ",".join(str(f) for f in freqs),
+               "--in", inp, "--wav-dir", wav_dir, "--blocks-per-step", "4"])
+    assert rc == 0
+    for k, tone_f in enumerate(tones):
+        rate, data = read_wav(os.path.join(wav_dir, f"station{k}.wav"))
+        snr = tone_snr_db(data.astype(np.float64), rate, tone_f, skip=2000)
+        assert snr > 18.0, f"station {k}: {snr:.1f} dB"
