@@ -111,6 +111,41 @@ def main():
         r["weak_eff_pct"] = round(100.0 * t1 / r["wall_s"], 1)
     print(json.dumps({"table": rows, "physical_cores": os.cpu_count()}))
 
+    # ---- strong scaling of ONE stereo station over the time axis
+    # (PLL warm-up halo sharding, parallel/timeshard.py).  Only the
+    # 1 -> 2 step is core-backed on this 2-core host.
+    from sdr_tpu.parallel.timeshard import timesharded_stereo
+    rx_st = Receiver(0, stereo=True)
+    align = 8 * 2 * cfg.rf_decim * cfg.audio_decim
+    n_st = ((int(1.6 * cfg.rf_fs) * 2) // align) * align
+    capst = tx.synthesize_capture(
+        cfg, seconds=n_st / 2 / cfg.rf_fs,
+        left=tx.tone(cfg.rf_fs, 1000.0, n_st // 2),
+        right=tx.tone(cfg.rf_fs, 2500.0, n_st // 2))[:n_st]
+
+    st_rows = []
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_dev, "time")
+        if n_dev == 1:
+            def run():
+                outs, _ = rx_st.run(capst)
+                jax.block_until_ready(outs["left"])
+        else:
+            def run(mesh=mesh):
+                l, r = timesharded_stereo(rx_st, capst, mesh)
+                jax.block_until_ready((l, r))
+        run()  # compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            run()
+        dt = (time.perf_counter() - t0) / reps
+        st_rows.append({"devices": n_dev, "wall_s": round(dt, 4),
+                        "speedup": round(st_rows[0]["wall_s"] / dt, 2)
+                        if st_rows else 1.0})
+        print(json.dumps({"stereo_timeshard": st_rows[-1]}))
+    print(json.dumps({"stereo_timeshard_table": st_rows}))
+
 
 if __name__ == "__main__":
     main()

@@ -104,30 +104,39 @@ def main() -> int:
                    lambda st, blk: (lambda y, t: (t, y))(
                        *rx.audio_resampler(blk, st)))
 
-    # ---- stereo BPF pair (MultiFIR)
-    bench_if_stage("stereo_multifir2",
-                   lambda: rx.stereo_bpf.init_state((C,)),
-                   lambda st, blk: (lambda outs, t: (t, outs[0] + outs[1]))(
-                       *rx.stereo_bpf(blk, st)))
+    # ---- fused 3-filter IF BPF (stereo channel + pilot + RDS channel)
+    bench_if_stage("if_bpf3_multifir",
+                   lambda: rx.if_bpf3.init_state((C,)),
+                   lambda st, blk: (lambda outs, t: (
+                       t, outs[0] + outs[1] + outs[2]))(
+                       *rx.if_bpf3(blk, st)))
 
-    # ---- PLL (Pallas chunked-32), one instance
+    # ---- PLL (Pallas chunked-32): one instance vs the joint dual launch
     from sdr_tpu.ops.pll import pll_init
-    from sdr_tpu.ops.pallas.pll_kernel import pll_pallas_chunked
-    bench_if_stage("pll_pallas_chunked32",
+    from sdr_tpu.ops.pallas.pll_kernel import (pll_pallas_chunked,
+                                               pll_pallas_chunked_multi)
+    bench_if_stage("pll_pallas_chunked32_x1",
                    lambda: pll_init((C,)),
                    lambda st, blk: (lambda nco, st2: (st2, nco))(
                        *pll_pallas_chunked(blk, st, freq=19e3, fs=240e3,
                                            nco_scale=2.0, chunk=32)))
 
-    # ---- RDS conv stages: channel BPF + square + carrier BPF
+    def joint_pll(st, blk):
+        (n1, n2), (s1, s2) = pll_pallas_chunked_multi(
+            (blk, blk * 0.7), st,
+            params=((19e3, 240e3, 2.0, 0.0, 0.01),
+                    (114e3, 240e3, 0.5, 0.0, 0.003)),
+            chunk=32)
+        return (s1, s2), n1 + n2
+    bench_if_stage("pll_joint_dual", lambda: (pll_init((C,)), pll_init((C,))),
+                   joint_pll)
+
+    # ---- RDS square + carrier BPF (channel BPF now rides if_bpf3)
     def rds_convs(st, blk):
-        ch_t, ca_t = st
-        channel, ch_t = rx.rds_channel_filter(blk, ch_t)
-        carrier_in, ca_t = rx.rds_carrier_filter(channel * channel, ca_t)
-        return (ch_t, ca_t), carrier_in
-    bench_if_stage("rds_chan+sq+carrier_bpf",
-                   lambda: (rx.rds_channel_filter.init_state((C,)),
-                            rx.rds_carrier_filter.init_state((C,))),
+        carrier_in, ca_t = rx.rds_carrier_filter(blk * blk, st)
+        return ca_t, carrier_in
+    bench_if_stage("rds_sq+carrier_bpf",
+                   lambda: rx.rds_carrier_filter.init_state((C,)),
                    rds_convs)
 
     # ---- RDS resample + RRC
