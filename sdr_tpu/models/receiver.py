@@ -62,6 +62,9 @@ class Receiver:
       demod: 'discriminator' (C++ FMDemod) | 'arctan' (Python model).
       fused_frontend: False | True/'f32' (bit-identical fused Pallas u8
            channelizer) | 'bf16' (2x throughput, ~53 dB channelizer SNR).
+      fuse_demod: with fused_frontend and the discriminator demod, fold
+           the FM discriminator into the front-end kernel so decimated I/Q
+           never reach HBM (bit-identical; default on).
       filter_engine: 'direct' (polyphase conv) | 'fft' (overlap-save) for
            the decimate-only FIR stages.
       stereo_phase_adjust: radians added to the recovered 38 kHz carrier
@@ -80,6 +83,7 @@ class Receiver:
                  fused_frontend: bool | str = False,
                  fe_out_tile: int = 128,
                  fe_sub_tiles: int = 2,
+                 fuse_demod: bool = True,
                  filter_engine: str = "direct",
                  stereo_phase_adjust: float = 0.0,
                  compat_pll: bool = False,
@@ -169,6 +173,12 @@ class Receiver:
                                            out_tile=fe_out_tile,
                                            sub_tiles=fe_sub_tiles,
                                            compute_dtype=dt)
+        # fold the FM discriminator into the fused front-end kernel: the
+        # decimated I/Q stay in VMEM and only fm_demod reaches HBM (bit-
+        # identical to the two-stage path — ops/pallas/frontend_kernel.py
+        # _frontend_demod_kernel; tested in tests/test_pallas.py)
+        self._fuse_demod = bool(fused_frontend and fuse_demod
+                                and demod == "discriminator")
         if filter_engine == "fft" and cfg.audio_interp == 1:
             self.audio_resampler = _dec_filter(audio_coeff, cfg.audio_decim)
         else:
@@ -327,6 +337,17 @@ class Receiver:
         # TPU equivalent of the reference's per-building-block timing
         # requirement (SURVEY §5.1)
         with jax.named_scope("rf_frontend"):
+            if self.fused_frontend and self._fuse_demod:
+                fm_demod, i_tail, prev_i, prev_q, psum = (
+                    self._fused_fe.demod_call(
+                        iq_u8, state.front.i_tail,
+                        state.front.prev_i, state.front.prev_q,
+                        interpret=jax.default_backend() != "tpu"))
+                front = FrontEndState(i_tail, state.front.q_tail,
+                                      prev_i, prev_q)
+                rssi_power = (psum / fm_demod.shape[-1]
+                              if self.emit_rssi else None)
+                return self._post_demod(state, fm_demod, front, rssi_power)
             if self.fused_frontend:
                 i_ds, q_ds, i_tail = self._fused_fe(
                     iq_u8, state.front.i_tail,
@@ -351,7 +372,6 @@ class Receiver:
         return self._finish_step(state, i_ds, q_ds, i_tail, q_tail)
 
     def _finish_step(self, state, i_ds, q_ds, i_tail, q_tail):
-        cfg = self.cfg
         with jax.named_scope("demod"):
             if self.demod == "arctan":
                 # prev_i slot carries the phase; prev_q is unused
@@ -363,11 +383,16 @@ class Receiver:
                 fm_demod, prev_i, prev_q = fm_discriminator(
                     i_ds, q_ds, state.front.prev_i, state.front.prev_q)
                 front = FrontEndState(i_tail, q_tail, prev_i, prev_q)
+        rssi_power = (jnp.mean(i_ds * i_ds + q_ds * q_ds, axis=-1)
+                      if self.emit_rssi else None)
+        return self._post_demod(state, fm_demod, front, rssi_power)
 
+    def _post_demod(self, state, fm_demod, front, rssi_power):
+        """Everything downstream of the discriminator: mono / stereo / RDS."""
+        cfg = self.cfg
         outputs: dict[str, jax.Array] = {}
-        if self.emit_rssi:
-            power = jnp.mean(i_ds * i_ds + q_ds * q_ds, axis=-1)
-            outputs["rssi_db"] = 10.0 * jnp.log10(power + 1e-12)
+        if rssi_power is not None:
+            outputs["rssi_db"] = 10.0 * jnp.log10(rssi_power + 1e-12)
         if self.emit_if:
             # demodulated-IF tap for PSD dumps / fm_demod_*.bin-style
             # cross-checks (reference model/fmMonoBlock.py:277-280)

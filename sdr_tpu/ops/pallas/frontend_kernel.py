@@ -98,6 +98,103 @@ def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
         q_ref[:, s * ot:(s + 1) * ot] = out[:, ot:]
 
 
+def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
+                           scratch_ref, sem, *, in_len, out_tile, decim,
+                           compute_dtype, sub_tiles):
+    """Front-end + FM discriminator in one launch.
+
+    Same banded matmul as `_frontend_kernel`, but the decimated I/Q tiles
+    never leave VMEM: the discriminator (I*dQ - Q*dI)/(I^2+Q^2)
+    (ops/demod.py semantics, reference src/filter.cpp:106-133) runs on the
+    tile in registers and only `fm_demod` is written to HBM — removing the
+    16 B/IF-sample I/Q round-trip that bounds the unfused mono chain.
+
+    `misc_ref` (C, 128) doubles as the cross-tile demod carry and the
+    auxiliary output: col 0 = last I, col 1 = last Q (the next block's
+    prev_i/prev_q), col 2 = running sum of I^2+Q^2 (RSSI without i/q).
+    The grid is sequential on TPU, so the constant-index output block is
+    the natural carry register.
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    stride = 2 * decim * out_tile
+
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[:, pl.ds(idx * stride, in_len)],
+            scratch_ref.at[slot], sem.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        get_dma(0, 0).start()
+        misc_ref[:, :] = prev_ref[:, :]
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        get_dma((t + 1) % 2, t + 1).start()
+
+    get_dma(t % 2, t).wait()
+    slot = t % 2
+    ot = out_tile // sub_tiles
+    sub_in = a_ref.shape[0]
+    for s in range(sub_tiles):
+        sl = scratch_ref[slot, :, s * 2 * decim * ot:s * 2 * decim * ot
+                         + sub_in]
+        as_i8 = pltpu.bitcast(sl ^ jnp.uint8(0x80), jnp.int8)
+        xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
+        out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
+        i_sub, q_sub = out[:, :ot], out[:, ot:]
+        i_prev = jnp.concatenate([misc_ref[:, 0:1], i_sub[:, :ot - 1]],
+                                 axis=1)
+        q_prev = jnp.concatenate([misc_ref[:, 1:2], q_sub[:, :ot - 1]],
+                                 axis=1)
+        num = i_sub * (q_sub - q_prev) - q_sub * (i_sub - i_prev)
+        den = i_sub * i_sub + q_sub * q_sub
+        fm = jnp.where(den == 0.0, 0.0,
+                       num / jnp.where(den == 0.0, 1.0, den))
+        fm_ref[:, s * ot:(s + 1) * ot] = fm
+        misc_ref[:, 0:1] = i_sub[:, ot - 1:ot]
+        misc_ref[:, 1:2] = q_sub[:, ot - 1:ot]
+        misc_ref[:, 2:3] = misc_ref[:, 2:3] + jnp.sum(den, axis=1,
+                                                      keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
+                                              "compute_dtype", "sub_tiles"))
+def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
+                               compute_dtype=jnp.float32, sub_tiles=1):
+    c, total = xp.shape
+    ot = out_tile // sub_tiles
+    tail_u8 = a.shape[0] - 2 * decim * ot
+    in_len = 2 * decim * out_tile + tail_u8
+    n_out = (total - tail_u8) // (2 * decim)
+    grid = n_out // out_tile
+    kernel = functools.partial(_frontend_demod_kernel, in_len=in_len,
+                               out_tile=out_tile, decim=decim,
+                               compute_dtype=compute_dtype,
+                               sub_tiles=sub_tiles)
+    a = a.astype(compute_dtype)
+    fm, misc = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+                   jax.ShapeDtypeStruct((c, LANES), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((a.shape[0], 2 * ot),
+                               lambda t: (0, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((c, LANES), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((c, out_tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((c, LANES), lambda t: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((2, c, in_len), jnp.uint8),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xp, a, prev)
+    return fm, misc
+
+
 @functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
                                               "compute_dtype", "sub_tiles"))
 def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
@@ -196,3 +293,44 @@ class FusedFrontend:
         if squeeze:
             i_ds, q_ds, new_tail = i_ds[0], q_ds[0], new_tail[0]
         return i_ds, q_ds, new_tail
+
+    def demod_call(self, u8_block: jax.Array, tail: jax.Array,
+                   prev_i: jax.Array, prev_q: jax.Array,
+                   interpret: bool = False):
+        """Front-end + FM discriminator in one kernel launch.
+
+        Returns (fm_demod, new_tail, new_prev_i, new_prev_q, power_sum)
+        where power_sum = sum(I^2+Q^2) over the block's IF samples (for
+        RSSI) — the decimated I/Q never touch HBM.
+        """
+        squeeze = u8_block.ndim == 1
+        if squeeze:
+            u8_block = u8_block[None]
+            tail = tail[None]
+            prev_i = prev_i[None]
+            prev_q = prev_q[None]
+        c, n = u8_block.shape
+        n_out = n // (2 * self.decim)
+        assert n_out % self.out_tile == 0, (
+            f"IF samples per block {n_out} not divisible by tile "
+            f"{self.out_tile}")
+        xp = jnp.concatenate([tail, u8_block], axis=-1)
+        c_pad = -(-c // 8) * 8
+        if c_pad != c:
+            xp = jnp.concatenate(
+                [xp, jnp.full((c_pad - c, xp.shape[-1]), 128, jnp.uint8)],
+                axis=0)
+        prev = jnp.zeros((c_pad, LANES), jnp.float32)
+        prev = prev.at[:c, 0].set(prev_i).at[:c, 1].set(prev_q)
+        fm, misc = _fused_frontend_demod_call(
+            xp, self._a, prev, decim=self.decim, out_tile=self.out_tile,
+            interpret=interpret, compute_dtype=self.compute_dtype,
+            sub_tiles=self.sub_tiles)
+        fm, misc = fm[:c], misc[:c]
+        new_tail = u8_block[..., n - self.tail_u8:]
+        new_prev_i, new_prev_q, power = misc[:, 0], misc[:, 1], misc[:, 2]
+        if squeeze:
+            fm, new_tail = fm[0], new_tail[0]
+            new_prev_i, new_prev_q = new_prev_i[0], new_prev_q[0]
+            power = power[0]
+        return fm, new_tail, new_prev_i, new_prev_q, power

@@ -86,3 +86,55 @@ def test_pll_pallas_block_continuity():
     np.testing.assert_allclose(
         np.asarray(full), np.concatenate([np.asarray(a), np.asarray(b)]),
         atol=1e-3)
+
+
+def test_frontend_demod_call_matches_two_stage():
+    """demod_call (front-end + discriminator in one kernel) is bit-identical
+    to __call__ followed by fm_discriminator, including two-block state
+    carry and the RSSI power-sum side output."""
+    from sdr_tpu.ops.demod import fm_discriminator
+    from sdr_tpu.ops.firdes import lowpass
+    from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
+
+    coeff = np.asarray(lowpass(2.4e6, 100e3, 51))
+    fe = FusedFrontend(coeff, 10, out_tile=128, sub_tiles=2)
+    rng = np.random.default_rng(7)
+    tail = fe.init_state((4,))
+    prev_i = jnp.zeros((4,), jnp.float32)
+    prev_q = jnp.zeros((4,), jnp.float32)
+    for _ in range(2):  # second block exercises tail + prev carry
+        u8 = jnp.asarray(rng.integers(0, 256, size=(4, 2 * 10 * 256),
+                                      dtype=np.uint8))
+        i_ds, q_ds, tail2 = fe(u8, tail, interpret=INTERP)
+        fm_ref, pi_ref, pq_ref = fm_discriminator(i_ds, q_ds, prev_i, prev_q)
+        fm, tail, prev_i, prev_q, power = fe.demod_call(
+            u8, tail, prev_i, prev_q, interpret=INTERP)
+        np.testing.assert_array_equal(np.asarray(fm), np.asarray(fm_ref))
+        np.testing.assert_array_equal(np.asarray(tail), np.asarray(tail2))
+        np.testing.assert_array_equal(np.asarray(prev_i), np.asarray(pi_ref))
+        np.testing.assert_array_equal(np.asarray(prev_q), np.asarray(pq_ref))
+        np.testing.assert_allclose(
+            np.asarray(power),
+            np.asarray(jnp.sum(i_ds * i_ds + q_ds * q_ds, axis=-1)),
+            rtol=1e-5)
+
+
+def test_receiver_fuse_demod_flag_equivalent():
+    """Receiver(fuse_demod=True) == Receiver(fuse_demod=False) bit-for-bit
+    on the fused f32 front-end (mono + rssi outputs)."""
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+
+    cfg = MODES[0]
+    cap = tx.synthesize_capture(cfg, seconds=0.2,
+                                mono=tx.tone(cfg.rf_fs, 800.0,
+                                             int(0.2 * cfg.rf_fs)))
+    out_a, _ = Receiver(0, fused_frontend=True, fuse_demod=True,
+                        emit_rssi=True).run(cap)
+    out_b, _ = Receiver(0, fused_frontend=True, fuse_demod=False,
+                        emit_rssi=True).run(cap)
+    np.testing.assert_array_equal(np.asarray(out_a["mono"]),
+                                  np.asarray(out_b["mono"]))
+    np.testing.assert_allclose(np.asarray(out_a["rssi_db"]),
+                               np.asarray(out_b["rssi_db"]), atol=1e-4)
