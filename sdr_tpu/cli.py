@@ -113,11 +113,9 @@ def main(argv: list[str] | None = None) -> int:
           f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
           file=sys.stderr)
 
-    # the Pallas chunked-PLL kernel needs a real TPU (interpret mode on
-    # CPU is slower than the XLA chunked engine)
-    _pll_fast = ("pallas_chunked" if jax.default_backend() == "tpu"
-                 else "chunked")
-    fast = (dict(fused_frontend="bf16", pll_impl=_pll_fast, pll_chunk=32)
+    # feedforward carrier recovery is pure XLA — fastest on TPU and CPU
+    # alike (no backend-dependent dispatch needed)
+    fast = (dict(fused_frontend="bf16", pll_impl="ff")
             if args.fast else {})
     want_if = args.psd_dump is not None or args.psd_anim is not None
     rx = Receiver(args.mode, stereo=stereo, rds=rds, emit_if=want_if, **fast)
@@ -257,13 +255,8 @@ def _run_wideband(args, cfg, stereo, rds):
     else:
         freqs = [float(f) for f in args.freqs.split(",") if f]
     chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs)
-    # same backend dispatch as main()/_run_stations: the Pallas chunked PLL
-    # only pays off on a real TPU (interpret mode on CPU is slower)
-    _pll_fast = ("pallas_chunked" if jax.default_backend() == "tpu"
-                 else "chunked")
     fast = dict(fused_frontend=False,
-                pll_impl=_pll_fast if args.fast else "auto",
-                pll_chunk=32)
+                pll_impl="ff" if args.fast else "auto")
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     wrx = WidebandReceiver(chan, rx)
     print(f"Channelizing {len(freqs)} stations from {fs_wide/1e6:.1f} MS/s "
@@ -339,11 +332,7 @@ def _run_stations(args, cfg, stereo, rds):
     print(f"Decoding {len(paths)} stations x {n//2} IQ samples (batched)",
           file=_sys.stderr)
 
-    # the Pallas chunked-PLL kernel needs a real TPU (interpret mode on
-    # CPU is slower than the XLA chunked engine)
-    _pll_fast = ("pallas_chunked" if jax.default_backend() == "tpu"
-                 else "chunked")
-    fast = (dict(fused_frontend="bf16", pll_impl=_pll_fast, pll_chunk=32)
+    fast = (dict(fused_frontend="bf16", pll_impl="ff")
             if args.fast else {})
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     out, _ = rx.run(batch, blocks_per_step=args.blocks_per_step)

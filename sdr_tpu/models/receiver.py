@@ -58,13 +58,18 @@ class Receiver:
       emit_if: include the demodulated IF in outputs (PSD dumps,
            fm_demod_*.bin-style cross-checks).
       pll_impl: 'scan' (bit-faithful) | 'chunked' (16x vectorized) |
-           'pallas' (fused VMEM kernel); 'auto' = scan.
+           'pallas'/'pallas_chunked' (fused VMEM kernels) | 'ff'
+           (feedforward carrier recovery — fully vectorized, zero
+           sequential scan, the fastest engine); 'auto' = scan.
       demod: 'discriminator' (C++ FMDemod) | 'arctan' (Python model).
       fused_frontend: False | True/'f32' (bit-identical fused Pallas u8
            channelizer) | 'bf16' (2x throughput, ~53 dB channelizer SNR).
       fuse_demod: with fused_frontend and the discriminator demod, fold
            the FM discriminator into the front-end kernel so decimated I/Q
-           never reach HBM (bit-identical; default on).
+           never reach HBM (fm_demod bit-identical; the RSSI side output
+           differs ~1e-4 dB because the kernel accumulates sum(I^2+Q^2)
+           sequentially in one f32 accumulator while the unfused path uses
+           jnp.mean's tree reduction; default on).
       filter_engine: 'direct' (polyphase conv) | 'fft' (overlap-save) for
            the decimate-only FIR stages.
       stereo_phase_adjust: radians added to the recovered 38 kHz carrier
@@ -79,6 +84,7 @@ class Receiver:
                  emit_if: bool = False,
                  pll_impl: str = "auto",
                  pll_chunk: int = 16,
+                 pll_window: int = 256,
                  demod: str = "discriminator",
                  fused_frontend: bool | str = False,
                  fe_out_tile: int = 128,
@@ -110,11 +116,16 @@ class Receiver:
             # in a fused VMEM kernel (~1.7x over scan on v5e) — select
             # explicitly for PLL-bound stereo/RDS workloads.
             pll_impl = "scan"
-        assert pll_impl in ("scan", "pallas", "chunked", "pallas_chunked")
+        assert pll_impl in ("scan", "pallas", "chunked", "pallas_chunked",
+                            "ff")
         self.pll_impl = pll_impl
         # chunk length for pll_impl='chunked': phase-detector vectorization
         # factor; frozen-feedback error grows O((chunk*bw)^2)
         self.pll_chunk = pll_chunk
+        # coherent-integration window (IF samples) for pll_impl='ff' — the
+        # fully vectorized feedforward carrier-recovery engine
+        # (ops/pll.py pll_feedforward)
+        self.pll_window = pll_window
         # 'discriminator' = reference C++ FMDemod (src/filter.cpp:106-133);
         # 'arctan' = the Python golden model's atan2+unwrap+diff demod
         # (model/fmSupportLib.py:34-63)
@@ -322,6 +333,9 @@ class Receiver:
         if self.pll_impl == "chunked":
             from sdr_tpu.ops.pll import pll_chunked
             return pll_chunked(x, st, chunk=self.pll_chunk, **kw)
+        if self.pll_impl == "ff":
+            from sdr_tpu.ops.pll import pll_feedforward
+            return pll_feedforward(x, st, window=self.pll_window, **kw)
         return pll(x, st, wrap_phase=self.pll_wrap_phase, **kw)
 
     # ------------------------------------------------------------------- step
@@ -520,6 +534,10 @@ class Receiver:
         align = 2 * self.cfg.rf_decim * self.cfg.audio_decim
         if self.rds:
             align = int(np.lcm(align, 2 * self.cfg.rf_decim * self.rds_if_align))
+        if (self.stereo or self.rds) and self.pll_impl == "ff":
+            # keep the feedforward engine's coherent-integration window grid
+            # block-size independent (it clamps to a divisor otherwise)
+            align = int(np.lcm(align, 2 * self.cfg.rf_decim * self.pll_window))
         # largest carried tail: audio resampler needs ceil((taps-1)/U) IF
         # samples per block
         min_if = self.audio_resampler.state_len

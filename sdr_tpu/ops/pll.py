@@ -121,6 +121,112 @@ def pll(x: jax.Array, state: PLLState, *, freq: float, fs: float,
     return fn(x, state)
 
 
+def _largest_divisor_at_most(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return n
+
+
+@partial(jax.jit, static_argnames=("freq", "fs", "nco_scale", "phase_adjust",
+                                   "norm_bandwidth", "window"))
+def pll_feedforward(x: jax.Array, state: PLLState, *, freq: float, fs: float,
+                    nco_scale: float = 1.0, phase_adjust: float = 0.0,
+                    norm_bandwidth: float = 0.01, window: int = 256):
+    """Feedforward carrier recovery — the TPU-native production engine.
+
+    The reference loop (src/filter.cpp:136-174) spends 240k strictly
+    sequential atan2+sincos iterations per second tracking a tone whose
+    phase moves at kHz rates; that feedback recurrence is the receiver's
+    dominant cost on TPU (BASELINE.md per-stage table) and its per-sample
+    feedback cannot be chunked past ~32 samples without destabilizing
+    acquisition (the frozen-feedback stability product chunk*bw*Cp).  This
+    engine removes the feedback entirely — classic feedforward (block ML /
+    Viterbi-style) carrier estimation, restructured for the VPU/MXU:
+
+      1. MIX: rotate the real input by the nominal carrier ramp e^{-j w0 i}
+         to complex baseband.  The ramp's cos/sin are trace-time f64-exact
+         host tables (block length is static under jit) — no runtime trig,
+         no f32 phase-accumulator drift; the block's carried start phase r0
+         enters as one complex rotation.
+      2. ESTIMATE: coherent average over `window` samples (the ML phase
+         estimator for a tone in white noise) and one atan2 per window —
+         phase at each window center, *already locked* (no pull-in
+         transient at all).
+      3. UNWRAP: wrapped first differences + cumsum stitch the per-window
+         phases into a continuous track — an associative scan, not a
+         recurrence.
+      4. SYNTHESIZE: piecewise-linear phase (backward slope per window),
+         one cos per output sample: nco[i] = cos((ramp+r0+phi(i))*scale
+         + phase_adjust).
+
+    Nothing here is sequential — the whole engine is reshape/mean/atan2/
+    cumsum/cos on full blocks.  Equivalent-noise-bandwidth fs/(2*window)
+    (469 Hz at 240 kS/s, window 256) is *narrower* than the reference
+    loop's bw*fs = 2.4 kHz, so phase noise on a locked tone is strictly
+    better; trackable frequency offset is fs/(2*window) (the FM pilot's
+    offset is Hz-scale: receiver LO error becomes a DC shift after FM
+    demod, not a pilot shift).  Behavioral drop-in for pll() on tones (the
+    gates: lock, phase error, stereo separation, RDS yield —
+    tests/test_ops.py, test_receiver.py); use `pll` for bit-level parity.
+    `norm_bandwidth` is accepted for signature compatibility and sets
+    nothing — the estimator has no loop filter.
+
+    State mapping: phase_acc = continuous phase track (mod wrap modulus),
+    integrator = last per-sample slope, trig_offset = carrier ramp phase.
+    """
+    n = x.shape[-1]
+    window = _largest_divisor_at_most(n, window)
+    nc = n // window
+    wmod_f = _wrap_modulus(nco_scale)
+    wmod = jnp.float32(wmod_f)
+    scale = jnp.float32(nco_scale)
+    adj = jnp.float32(phase_adjust)
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    # trace-time f64-exact carrier ramp tables (n static under jit)
+    w0_f64 = 2.0 * np.pi * (float(freq) / float(fs))
+    ramp = (w0_f64 * np.arange(n, dtype=np.float64)) % wmod_f
+    cos_ramp = jnp.asarray(np.cos(ramp), jnp.float32)
+    sin_ramp = jnp.asarray(np.sin(ramp), jnp.float32)
+    ramp_mod = jnp.asarray(ramp, jnp.float32)
+    r_adv = jnp.float32((w0_f64 * n) % wmod_f)
+    # window-center offsets for the synthesis interpolation
+    rel = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
+
+    def run_1d(x1, st):
+        r0 = st.trig_offset
+        # MIX: z = x * e^{-j(ramp + r0)}
+        cr0, sr0 = jnp.cos(r0), jnp.sin(r0)
+        mc = cos_ramp * cr0 - sin_ramp * sr0
+        ms = sin_ramp * cr0 + cos_ramp * sr0
+        zr = (x1 * mc).reshape(nc, window).mean(axis=-1)
+        zi = (-x1 * ms).reshape(nc, window).mean(axis=-1)
+        # ESTIMATE + UNWRAP
+        phi_hat = jnp.arctan2(zi, zr)                        # (nc,)
+        prev = jnp.concatenate([st.phase_acc[None], phi_hat[:-1]])
+        d = phi_hat - prev
+        d = d - two_pi * jnp.round(d / two_pi)               # (-pi, pi]
+        phi_c = st.phase_acc + jnp.cumsum(d)                 # continuous
+        # SYNTHESIZE: phi(i) = phi_c[c] + slope_c * (i - center_c)
+        slope = d / jnp.float32(window)
+        phi_full = (phi_c[:, None] + slope[:, None] * rel[None, :]
+                    ).reshape(n)
+        theta = ramp_mod + r0 + phi_full
+        nco = jnp.cos(theta * scale + adj)
+        phi_last = jnp.mod(phi_c[-1], wmod)
+        new = PLLState(integrator=slope[-1], phase_acc=phi_last,
+                       feedback_i=jnp.cos(phi_last),
+                       feedback_q=jnp.sin(phi_last),
+                       trig_offset=jnp.mod(r0 + r_adv, wmod))
+        return nco, new
+
+    fn = run_1d
+    for _ in range(x.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(x, state)
+
+
 def pll_reference(x, freq, fs, nco_scale, phase_adjust, norm_bandwidth, state):
     """Scalar NumPy oracle with the reference's exact loop (src/filter.cpp:136-174).
 

@@ -159,18 +159,20 @@ class MultiFIR:
     18.5-19.5 kHz) over the same demodulated IF stream with identical tail
     semantics (reference src/project.cpp:162-165) — as separate convs the
     input is read twice.  Stacking the filters as conv output channels
-    halves the reads; the carried tail (last taps-1 inputs) is shared.
-    All filters must have equal tap counts.
+    halves the reads; the carried tail (last max_taps-1 inputs) is shared.
+    Filters with fewer taps are zero-padded to the longest (appending
+    zeros at high k leaves y[n] = sum_k c[k] x[n-k] unchanged), so
+    per-stage tap tuning never forfeits the fusion.
     """
 
     def __init__(self, coeffs: list[np.ndarray]):
-        taps = {len(c) for c in coeffs}
-        assert len(taps) == 1, "MultiFIR filters must share a tap count"
-        self.taps = taps.pop()
+        self.taps = max(len(c) for c in coeffs)
         self.k = len(coeffs)
         self.state_len = self.taps - 1
-        rhs = np.stack([np.asarray(c, np.float32)[::-1] for c in coeffs])
-        self._rhs = jnp.asarray(rhs[:, None, :])  # (k, 1, taps)
+        rhs = np.stack([
+            np.pad(np.asarray(c, np.float32),
+                   (0, self.taps - len(c)))[::-1] for c in coeffs])
+        self._rhs = jnp.asarray(rhs[:, None, :])  # (k, 1, max_taps)
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
         return jnp.zeros(batch_shape + (self.state_len,), dtype=jnp.float32)

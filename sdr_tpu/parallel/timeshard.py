@@ -23,9 +23,13 @@ warm-up outputs.  No inter-device PLL state handoff — devices run fully in
 parallel — at the cost of `warmup_if` redundant IF samples per device.
 Equivalence to the serial scan is behavioral (stereo separation / stream
 SNR within tolerance, tests/test_parallel.py), not bit-exact: the dropped
-transient differs.  RDS could shard the same way (its carrier PLL
-bw=0.003 needs a ~4x longer warm-up); the host-side frame sync consumes
-the concatenated soft stream unchanged.
+transient differs.  `timesharded_full` extends the same construction to
+the COMPLETE stereo+RDS chain: the RDS carrier loop warms up in the halo
+(instantly under the feedforward engine; ~4x the stereo warm-up for the
+feedback engines, bw=0.003), the per-device soft streams are sign-aligned
+on host across the halo overlap (squaring-loop 180-degree ambiguity is
+per-device), and the concatenated soft stream feeds the host frame sync
+unchanged.
 """
 
 from __future__ import annotations
@@ -66,25 +70,47 @@ def _if_align(rx: Receiver) -> int:
     return rx._fused_fe.out_tile if rx.fused_frontend else 1
 
 
+def _pad_for_mesh(iq_u8, n_dev: int, align: int):
+    """Make any capture length shardable: trim to the serial-equivalent
+    alignment (rx.run drops the trailing partial block the same way), then
+    right-pad with u8 value 128 (decodes to 0.0) so every device receives
+    an equal aligned chunk.  Returns (padded host array, n_valid); callers
+    trim outputs back to the serial length — mirrors sharded_run's ragged
+    channel padding on the time axis."""
+    arr = np.asarray(iq_u8)
+    n = arr.shape[-1]
+    n_valid = (n // align) * align
+    if n_valid == 0:
+        raise ValueError(f"capture of {n} bytes shorter than the minimum "
+                         f"aligned block {align}")
+    unit = n_dev * align
+    n_pad = -(-n_valid // unit) * unit
+    if n_pad == n_valid == n:
+        return arr, n_valid
+    out = np.full(arr.shape[:-1] + (n_pad,), 128, dtype=np.uint8)
+    out[..., :n_valid] = arr[..., :n_valid]
+    return out, n_valid
+
+
 def timesharded_mono(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "time"):
     """Mono-decode a single station's u8 stream with time sharded over mesh.
 
-    iq_u8: (n,) u8, n divisible by (devices * 2*rf_decim*audio_decim).
-    Returns the audio stream, identical to rx.run(iq_u8)['mono'].
+    iq_u8: (n,) u8, any length — trimmed/padded internally (see
+    _pad_for_mesh).  Returns the audio stream, identical to
+    rx.run(iq_u8)['mono'].
     """
     cfg = rx.cfg
     n_dev = mesh.shape[axis]
-    n = iq_u8.shape[-1]
-    chunk_u8 = n // n_dev
     ia = _if_align(rx)
     align = 2 * cfg.rf_decim * int(np.lcm(cfg.audio_decim, ia))
-    assert chunk_u8 % align == 0, (
-        f"per-device chunk {chunk_u8} not aligned to {align}")
+    iq_np, n_valid = _pad_for_mesh(iq_u8, n_dev, align)
+    chunk_u8 = iq_np.shape[-1] // n_dev
     halo_u8 = 2 * halo_pairs(cfg, ia)
+    assert chunk_u8 >= halo_u8, (
+        f"per-device chunk {chunk_u8} u8 shorter than the halo {halo_u8}")
     warm_audio = halo_if(cfg, ia) * cfg.audio_interp // cfg.audio_decim
 
-    iq = jax.device_put(np.asarray(iq_u8),
-                        NamedSharding(mesh, P(axis)))
+    iq = jax.device_put(iq_np, NamedSharding(mesh, P(axis)))
 
     @partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
              check_vma=False)
@@ -105,7 +131,10 @@ def timesharded_mono(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "time"):
         audio = out["mono"][warm_audio:]
         return audio
 
-    return jax.jit(run_shard)(iq)
+    audio = jax.jit(run_shard)(iq)
+    n_audio = (n_valid // (2 * cfg.rf_decim * cfg.audio_decim)
+               * cfg.audio_interp)
+    return audio[:n_audio]
 
 
 def stereo_warmup_if(rx: Receiver, warmup_if: int = 4096) -> int:
@@ -131,27 +160,26 @@ def timesharded_stereo(rx: Receiver, iq_u8, mesh: Mesh, *,
     the mesh — extends timesharded_mono past its PLL limit via warm-up
     halos (see module docstring).
 
-    iq_u8: (n,) u8, n divisible by devices * the per-device alignment.
-    Returns (left, right), behaviorally equivalent to
+    iq_u8: (n,) u8, any length — trimmed/padded internally (see
+    _pad_for_mesh).  Returns (left, right), behaviorally equivalent to
     rx.run(iq_u8)['left'/'right'] (stereo separation / SNR within
     tolerance after the initial serial lock-in transient).
     """
     cfg = rx.cfg
-    assert rx.stereo and not rx.rds, "stereo time-sharding (RDS: see doc)"
+    assert rx.stereo and not rx.rds, (
+        "stereo time-sharding; for stereo+RDS use timesharded_full")
     n_dev = mesh.shape[axis]
-    n = iq_u8.shape[-1]
-    chunk_u8 = n // n_dev
     ia = _if_align(rx)
     align = 2 * cfg.rf_decim * int(np.lcm(cfg.audio_decim, ia))
-    assert chunk_u8 % align == 0, (
-        f"per-device chunk {chunk_u8} not aligned to {align}")
+    iq_np, n_valid = _pad_for_mesh(iq_u8, n_dev, align)
+    chunk_u8 = iq_np.shape[-1] // n_dev
     warm_if = stereo_warmup_if(rx, warmup_if)
     halo_u8 = 2 * cfg.rf_decim * warm_if
     assert chunk_u8 >= halo_u8, (
         f"chunk {chunk_u8} u8 shorter than the warm-up halo {halo_u8}")
     warm_audio = warm_if * cfg.audio_interp // cfg.audio_decim
 
-    iq = jax.device_put(np.asarray(iq_u8), NamedSharding(mesh, P(axis)))
+    iq = jax.device_put(iq_np, NamedSharding(mesh, P(axis)))
 
     @partial(shard_map, mesh=mesh, in_specs=P(axis),
              out_specs=(P(axis), P(axis)), check_vma=False)
@@ -167,4 +195,115 @@ def timesharded_stereo(rx: Receiver, iq_u8, mesh: Mesh, *,
         _, out = rx.step(state, extended)
         return out["left"][warm_audio:], out["right"][warm_audio:]
 
-    return jax.jit(run_shard)(iq)
+    left, right = jax.jit(run_shard)(iq)
+    n_audio = (n_valid // (2 * cfg.rf_decim * cfg.audio_decim)
+               * cfg.audio_interp)
+    return left[:n_audio], right[:n_audio]
+
+
+def full_warmup_if(rx: Receiver, warmup_if: int | None = None) -> int:
+    """Left-halo depth (IF samples) for the full stereo+RDS chain.
+
+    With the feedforward carrier engine (pll_impl='ff') there is no loop
+    lock-in at all — the halo only covers FIR/RRC/resampler context plus
+    one coherent-integration window; feedback engines need the RDS carrier
+    loop's pull-in (bw=0.003 -> ~4x the stereo warm-up, the sizing the
+    round-2 module docstring gave).  Rounded to the lcm of every grid the
+    chain carries (audio polyphase, RDS resampler/symbol grid, ff window,
+    fused-front-end tile).
+    """
+    cfg = rx.cfg
+    if warmup_if is None:
+        warmup_if = 2048 if rx.pll_impl == "ff" else 16384
+    ia = _if_align(rx)
+    # FIR context: RF + IF BPF pair + squaring BPF + 3 kHz LPF + RRC
+    # (expressed at the IF rate), plus the channel-vs-carrier delay line
+    u, d = cfg.rds_resample
+    ctx = (halo_if(cfg, 1) + 3 * cfg.bp_taps
+           + (cfg.bp_taps * u) // u + (151 * d) // u
+           + (cfg.bp_taps - 1) // 2 + warmup_if)
+    unit = np.lcm.reduce([cfg.audio_decim, ia, rx.rds_if_align,
+                          rx.pll_window if rx.pll_impl == "ff" else 1])
+    return int(-(-ctx // int(unit)) * int(unit))
+
+
+def timesharded_full(rx: Receiver, iq_u8, mesh: Mesh, *,
+                     axis: str = "time", warmup_if: int | None = None):
+    """Time-shard the COMPLETE receiver — stereo + RDS — over the mesh.
+
+    The reference's full single-station capability (src/project.cpp:200-271
+    + spec pp.13-18) under §5.7's sequence-scaling story: every device runs
+    the whole chain over (warm-up halo + chunk) from a cold state and drops
+    the warm-up outputs, exactly like timesharded_stereo; the RDS soft
+    streams concatenate into the host-side frame sync unchanged.
+
+    One subtlety is RDS-specific: the 57 kHz carrier comes from squaring
+    (nco_scale=0.5), so each device's recovered carrier has an independent
+    180-degree ambiguity — a per-device sign flip of the soft waveform.
+    Devices therefore also return their warm-up soft output, which overlaps
+    the left neighbor's chunk in time; the host correlates the overlap and
+    sign-corrects each segment before concatenation (the downstream decoder
+    then resolves the single remaining global polarity as usual).
+
+    Returns (left, right, rds_soft) — audio behaviorally equivalent to the
+    serial run; rds_soft decodes to the same groups (tests/test_parallel.py).
+    """
+    cfg = rx.cfg
+    assert rx.stereo and rx.rds, "timesharded_full wants stereo+RDS"
+    n_dev = mesh.shape[axis]
+    ia = _if_align(rx)
+    warm_if = full_warmup_if(rx, warmup_if)
+    align_if = int(np.lcm.reduce(
+        [cfg.audio_decim, ia, rx.rds_if_align,
+         rx.pll_window if rx.pll_impl == "ff" else 1]))
+    align = 2 * cfg.rf_decim * align_if
+    iq_np, n_valid = _pad_for_mesh(iq_u8, n_dev, align)
+    chunk_u8 = iq_np.shape[-1] // n_dev
+    halo_u8 = 2 * cfg.rf_decim * warm_if
+    assert chunk_u8 >= halo_u8, (
+        f"chunk {chunk_u8} u8 shorter than the warm-up halo {halo_u8}")
+    warm_audio = warm_if * cfg.audio_interp // cfg.audio_decim
+    u, d = cfg.rds_resample
+    warm_soft = warm_if * u // d
+
+    iq = jax.device_put(iq_np, NamedSharding(mesh, P(axis)))
+
+    @partial(shard_map, mesh=mesh, in_specs=P(axis),
+             out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    def run_shard(local):
+        local = local.reshape(-1)
+        tail = local[-halo_u8:]
+        halo = jax.lax.ppermute(tail, axis,
+                                perm=[(i, i + 1) for i in range(n_dev - 1)])
+        idx = jax.lax.axis_index(axis)
+        halo = jnp.where(idx == 0, jnp.uint8(128), halo)
+        extended = jnp.concatenate([halo, local])
+        state = rx.init_state()
+        _, out = rx.step(state, extended)
+        # keep the warm-up soft too: the host uses the overlap for the
+        # per-device 57 kHz sign resolution
+        return (out["left"][warm_audio:], out["right"][warm_audio:],
+                out["rds_soft"])
+
+    left, right, soft_all = jax.jit(run_shard)(iq)
+    n_audio = (n_valid // (2 * cfg.rf_decim * cfg.audio_decim)
+               * cfg.audio_interp)
+    left, right = left[:n_audio], right[:n_audio]
+
+    # --- host-side polarity stitch (1187.5 bit/s — negligible)
+    chunk_soft = (chunk_u8 // (2 * cfg.rf_decim)) * u // d
+    soft_all = np.asarray(soft_all).reshape(n_dev, warm_soft + chunk_soft)
+    segs = [soft_all[0, warm_soft:]]
+    sign = 1.0
+    for dev in range(1, n_dev):
+        # correlate the LATER half of the warm-up (filters warmed) against
+        # the same absolute time range of the left neighbor's chunk
+        ov = warm_soft // 2
+        mine = soft_all[dev, warm_soft - ov:warm_soft]
+        theirs = sign * soft_all[dev - 1, warm_soft + chunk_soft - ov:]
+        corr = float(np.dot(mine, theirs))
+        sign = sign * (1.0 if corr >= 0 else -1.0)
+        segs.append(sign * soft_all[dev, warm_soft:])
+    n_soft = (n_valid // (2 * cfg.rf_decim)) * u // d
+    rds_soft = np.concatenate(segs)[:n_soft]
+    return left, right, rds_soft

@@ -111,9 +111,11 @@ def syndromes_sliding(bits: np.ndarray) -> np.ndarray:
     """Syndromes of every 26-bit window of a bit stream, vectorized:
     windows (n-25, 26) @ H mod 2 -> (n-25, 10) -> packed ints.
 
-    This is the GF(2)-matmul frame-sync formulation (SURVEY §2.5); on TPU
-    the same expression runs as an int8 matmul, but at 1187.5 bit/s the
-    host-side numpy version is already instantaneous.
+    This is the GF(2)-matmul frame-sync formulation (SURVEY §2.5).  Host
+    numpy is the default engine — at 1187.5 bit/s per station it is
+    instantaneous; `syndromes_sliding_device` below is the jitted batched
+    equivalent for fleet-scale decode (equivalence-tested in
+    tests/test_rds.py).
     """
     bits = np.asarray(bits, dtype=np.uint8)
     n = len(bits)
@@ -122,6 +124,28 @@ def syndromes_sliding(bits: np.ndarray) -> np.ndarray:
     windows = np.lib.stride_tricks.sliding_window_view(bits, 26)
     s = (windows @ H.astype(np.int64)) % 2
     weights = 1 << np.arange(9, -1, -1, dtype=np.int64)
+    return s @ weights
+
+
+def syndromes_sliding_device(bits):
+    """`syndromes_sliding` on accelerator, batched: bits (..., n) uint8 ->
+    (..., n-25) int32 packed syndromes.
+
+    The 26 sliding windows are materialized as 26 static shifts (cheap —
+    the bit stream is tiny next to the soft waveform it came from) and the
+    GF(2) matmul runs as one int32 matmul against H with a mod-2 reduce —
+    the MXU formulation SURVEY §2.5 calls for, used by the batched
+    multi-station decode path.
+    """
+    import jax.numpy as jnp
+    bits = jnp.asarray(bits, jnp.int32)
+    n = bits.shape[-1]
+    if n < 26:
+        return jnp.zeros(bits.shape[:-1] + (0,), jnp.int32)
+    windows = jnp.stack([bits[..., i:n - 25 + i] for i in range(26)],
+                        axis=-1)                       # (..., n-25, 26)
+    s = (windows @ jnp.asarray(H, jnp.int32)) % 2      # (..., n-25, 10)
+    weights = jnp.asarray(1 << np.arange(9, -1, -1), jnp.int32)
     return s @ weights
 
 

@@ -273,3 +273,80 @@ def test_first_order_iir_matches_scipy(rng):
     y2, _ = first_order_iir(jnp.asarray(x[500:]), carry, alpha=alpha)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+class TestPllFeedforward:
+    """Feedforward carrier recovery (ops/pll.py pll_feedforward) — the
+    fully vectorized production engine: zero sequential scan, instant
+    lock, phase noise strictly better than the reference loop's."""
+
+    def test_locks_instantly_and_tracks_offset(self):
+        from sdr_tpu.ops.pll import pll_feedforward
+        fs = 240e3
+        n = 24576
+        t = np.arange(n) / fs
+        # 20 Hz frequency offset + nonzero phase
+        pilot = (0.5 * np.cos(2 * np.pi * 19020.0 * t + 0.7)
+                 ).astype(np.float32)
+        out, _ = pll_feedforward(jnp.asarray(pilot), pll_init(),
+                                 freq=19e3, fs=fs, nco_scale=2.0)
+        ideal = np.cos(2 * (2 * np.pi * 19020.0 * t + 0.7))
+        # instant lock: even INCLUDING the first samples the error is small
+        rms_all = np.sqrt(np.mean((np.asarray(out) - ideal) ** 2))
+        assert rms_all < 0.05, rms_all
+        # and strictly better than the sequential loop in steady state
+        ref, _ = pll(jnp.asarray(pilot), pll_init(), freq=19e3, fs=fs,
+                     nco_scale=2.0)
+        rms_ff = np.sqrt(np.mean((np.asarray(out)[8000:] - ideal[8000:])**2))
+        rms_scan = np.sqrt(np.mean((np.asarray(ref)[8000:] - ideal[8000:])**2))
+        assert rms_ff < rms_scan, (rms_ff, rms_scan)
+
+    def test_split_invariance_on_window_grid(self):
+        from sdr_tpu.ops.pll import pll_feedforward
+        fs = 240e3
+        n = 24576
+        pilot = np.asarray(generate_sin(fs, 19e3, n, amplitude=0.5))
+        full, _ = pll_feedforward(jnp.asarray(pilot), pll_init(),
+                                  freq=19e3, fs=fs, nco_scale=2.0)
+        a, st = pll_feedforward(jnp.asarray(pilot[:12288]), pll_init(),
+                                freq=19e3, fs=fs, nco_scale=2.0)
+        b, _ = pll_feedforward(jnp.asarray(pilot[12288:]), st,
+                               freq=19e3, fs=fs, nco_scale=2.0)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(a), np.asarray(b)]),
+            np.asarray(full), atol=1e-4)
+
+    def test_half_scale_rds_carrier(self):
+        """nco_scale=0.5 (114 kHz -> 57 kHz): phase carried mod 4*pi keeps
+        the half-rate NCO consistent across blocks, up to the squaring
+        loop's inherent 180-degree ambiguity."""
+        from sdr_tpu.ops.pll import pll_feedforward
+        fs = 240e3
+        n = 24576
+        t = np.arange(n) / fs
+        carrier = (0.3 * np.cos(2 * np.pi * 114005.0 * t + 1.1)
+                   ).astype(np.float32)
+        outs, st = [], pll_init()
+        for i in range(0, n, 12288):
+            o, st = pll_feedforward(jnp.asarray(carrier[i:i + 12288]), st,
+                                    freq=114e3, fs=fs, nco_scale=0.5)
+            outs.append(np.asarray(o))
+        out = np.concatenate(outs)
+        ideal = np.cos(0.5 * (2 * np.pi * 114005.0 * t + 1.1))
+        err = min(np.mean((out[2000:] - ideal[2000:]) ** 2),
+                  np.mean((out[2000:] + ideal[2000:]) ** 2))
+        assert np.sqrt(err) < 0.05, np.sqrt(err)
+
+    def test_batched(self):
+        from sdr_tpu.ops.pll import pll_feedforward
+        fs = 240e3
+        x = np.stack([np.asarray(generate_sin(fs, 19e3, 4096, amplitude=0.4)),
+                      np.asarray(generate_sin(fs, 19e3, 4096, amplitude=0.4,
+                                              phase=1.2))])
+        out, st = pll_feedforward(jnp.asarray(x), pll_init((2,)),
+                                  freq=19e3, fs=fs, nco_scale=2.0)
+        assert out.shape == (2, 4096) and st.phase_acc.shape == (2,)
+        one, _ = pll_feedforward(jnp.asarray(x[1]), pll_init(),
+                                 freq=19e3, fs=fs, nco_scale=2.0)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(one),
+                                   atol=1e-5)

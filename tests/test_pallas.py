@@ -138,3 +138,42 @@ def test_receiver_fuse_demod_flag_equivalent():
                                   np.asarray(out_b["mono"]))
     np.testing.assert_allclose(np.asarray(out_a["rssi_db"]),
                                np.asarray(out_b["rssi_db"]), atol=1e-4)
+
+
+def test_fused_frontend_bf16_demod_interpret():
+    """ADVICE r2: the bf16 fused front-end WITH in-kernel discriminator (the
+    bench.py production path) exercised in interpret mode — fm_demod within
+    bf16 coefficient-rounding tolerance of the exact two-stage path, and
+    the misc-ref carry (prev_i/prev_q/power) consistent across blocks."""
+    from sdr_tpu.ops.demod import fm_discriminator
+    from sdr_tpu.ops.firdes import lowpass
+    from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
+
+    coeff = np.asarray(lowpass(2.4e6, 100e3, 51))
+    fe = FusedFrontend(coeff, 10, out_tile=128, sub_tiles=2,
+                       compute_dtype=jnp.bfloat16)
+    fe_exact = FusedFrontend(coeff, 10, out_tile=128, sub_tiles=2)
+    rng = np.random.default_rng(3)
+    tail = fe.init_state((2,))
+    prev_i = jnp.zeros((2,), jnp.float32)
+    prev_q = jnp.zeros((2,), jnp.float32)
+    tail_e = fe_exact.init_state((2,))
+    prev_ie = jnp.zeros((2,), jnp.float32)
+    prev_qe = jnp.zeros((2,), jnp.float32)
+    for _ in range(2):  # second block exercises the misc-ref carry
+        u8 = jnp.asarray(rng.integers(0, 256, size=(2, 2 * 10 * 256),
+                                      dtype=np.uint8))
+        fm, tail, prev_i, prev_q, power = fe.demod_call(
+            u8, tail, prev_i, prev_q, interpret=INTERP)
+        i_e, q_e, tail_e = fe_exact(u8, tail_e, interpret=INTERP)
+        fm_e, prev_ie, prev_qe = fm_discriminator(i_e, q_e, prev_ie, prev_qe)
+        # bf16 coefficient rounding: ~53 dB channelizer SNR propagates
+        # through the discriminator's ratio; compare waveforms loosely and
+        # the block power tightly
+        err = np.asarray(fm) - np.asarray(fm_e)
+        sig = np.mean(np.square(np.asarray(fm_e)))
+        assert np.mean(np.square(err)) < 0.05 * max(sig, 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(power),
+            np.asarray(jnp.sum(i_e * i_e + q_e * q_e, axis=-1)),
+            rtol=2e-2)

@@ -232,3 +232,24 @@ def test_version_b_group_syncs():
     groups, _ = extract_groups(bits)
     assert len(groups) == 3
     assert all(gr.version_b for gr in groups)
+
+
+def test_syndromes_sliding_device_matches_host(rng):
+    """The jitted int32-matmul frame sync equals the numpy formulation,
+    batched, and finds the same sync positions on an encoded stream."""
+    import jax
+    from sdr_tpu.rds.matrix import syndromes_sliding, syndromes_sliding_device
+
+    bits = rng.integers(0, 2, size=(3, 400)).astype(np.uint8)
+    dev = np.asarray(jax.jit(syndromes_sliding_device)(bits))
+    for c in range(3):
+        np.testing.assert_array_equal(dev[c], syndromes_sliding(bits[c]))
+
+    # a real encoded group embedded at a known offset syncs identically
+    stream = rng.integers(0, 2, size=200).astype(np.uint8)
+    blk = encode_block(0x1234, "A")
+    stream[50:76] = blk
+    host = syndromes_sliding(stream)
+    devs = np.asarray(syndromes_sliding_device(stream))
+    np.testing.assert_array_equal(devs, host)
+    assert devs[50] == SYNDROMES["A"]

