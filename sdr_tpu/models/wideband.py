@@ -53,15 +53,22 @@ class WidebandReceiver:
         """One block: `wide` is the raw interleaved stream (2N,), u8 or f32.
 
         Returns (new_state, outputs) with outputs batched over stations.
+        The mfb channelizer consumes the interleaved stream directly — u8
+        decodes inside the compute cast, so the 8x f32 wideband stream
+        never materializes in HBM (the round-2 wideband-ingest bottleneck).
         """
         cstate, rstate = state
-        with jax.named_scope("wideband_ingest"):
-            if wide.dtype == jnp.uint8:
-                i_w, q_w = decode_u8_iq(wide)
-            else:
-                i_w, q_w = wide[0::2], wide[1::2]
         with jax.named_scope("channelize"):
-            (i_st, q_st), cstate = self.chan(i_w, q_w, cstate)
+            if self.chan.engine == "mfb":
+                (i_st, q_st), cstate = self.chan.call_interleaved(wide,
+                                                                  cstate)
+            else:
+                with jax.named_scope("wideband_ingest"):
+                    if wide.dtype == jnp.uint8:
+                        i_w, q_w = decode_u8_iq(wide)
+                    else:
+                        i_w, q_w = wide[0::2], wide[1::2]
+                (i_st, q_st), cstate = self.chan(i_w, q_w, cstate)
         rstate, out = self.rx.step_iq(rstate, i_st, q_st)
         return (cstate, rstate), out
 

@@ -89,11 +89,21 @@ class WidebandChannelizer:
             self._lpf_i = PolyphaseResampler(coeff, 1, self.decim)
             self._lpf_q = PolyphaseResampler(coeff, 1, self.decim)
         else:
-            self._rhs = jnp.asarray(
-                _modulated_bank(np.asarray(coeff, np.float64), self._dphi))
+            rhs = _modulated_bank(np.asarray(coeff, np.float64), self._dphi)
             self.state_len = self.taps - 1
+            # im2col GEMM formulation: B[2l+r, c] = rhs[c, r, l] maps the
+            # bank onto interleaved window rows; rows padded to a multiple
+            # of the 2D phase stride (extra rows are never-read zeros)
+            two_t = 2 * self.taps
+            self._n_shift = -(-two_t // (2 * self.decim))
+            rows = 2 * self.decim * self._n_shift
+            b = np.zeros((rows, 2 * self.k), np.float32)
+            for l in range(self.taps):
+                b[2 * l, :] = rhs[:, 0, l]
+                b[2 * l + 1, :] = rhs[:, 1, l]
+            self._bmat = jnp.asarray(b)
 
-    def _phase_tables(self, n: int, stride: int):
+    def _phase_tables(self, n: int, stride: int, c: int | None = None):
         """Factored oscillator ramp for n samples taken every `stride`
         wideband samples: theta[k, i] = dphi_k*(i*stride + 1) mod 2pi.
 
@@ -106,12 +116,13 @@ class WidebandChannelizer:
         composed on device (sum of three in-[0,2pi) f32 terms, one mod).
         Also returns the (K,) per-block phase advance dphi_k*n*stride mod 2pi.
         """
-        key = (n, stride)
+        if c is None:
+            c = min(n, 4096)
+        key = (n, stride, c)
         if key not in self._ramp_cache:
             # c need not divide n: a is padded to ceil(n/c) and the composed
             # phasor is sliced back to n on device (so prime / awkward block
             # lengths never degrade to a full (K, n) table)
-            c = min(n, 4096)
             a = -(-n // c)
             row = (self._dphi[:, None]
                    * (np.arange(a, dtype=np.float64) * (c * stride))[None, :]
@@ -137,10 +148,10 @@ class WidebandChannelizer:
                 "i_tail": self._lpf_i.init_state((self.k,)),
                 "q_tail": self._lpf_q.init_state((self.k,)),
             }
+        # mfb: one carried INTERLEAVED f32 tail (last 2*(taps-1) scalars)
         return {
             "phase": jnp.zeros((self.k,), jnp.float32),
-            "i_tail": jnp.zeros((self.state_len,), jnp.float32),
-            "q_tail": jnp.zeros((self.state_len,), jnp.float32),
+            "tail": jnp.zeros((2 * self.state_len,), jnp.float32),
         }
 
     def __call__(self, i_wide: jax.Array, q_wide: jax.Array, state):
@@ -154,11 +165,27 @@ class WidebandChannelizer:
                                self._lpf_q._rhs, self.decim,
                                self._lpf_i.state_len, self._lpf_i.L,
                                i_wide, q_wide, state)
-        row, base, adv = self._phase_tables(i_wide.shape[-1] // self.decim,
-                                            self.decim)
-        return _channelize_mfb(self._rhs, row, base, adv, self.decim,
-                               self.state_len, self.compute_dtype,
-                               i_wide, q_wide, state)
+        body = jnp.stack([i_wide, q_wide], axis=-1).reshape(-1)
+        return self._mfb_interleaved(body, state)
+
+    def call_interleaved(self, wide: jax.Array, state):
+        """Channelize directly from the RAW interleaved stream (2N,) —
+        float32 or u8 (reference ingest semantics (x-128)/128,
+        src/iofunc.cpp:62-69, decoded exactly inside the compute cast: the
+        8x-larger f32 wideband stream never materializes in HBM)."""
+        assert self.engine == "mfb", "interleaved ingest is an mfb feature"
+        return self._mfb_interleaved(wide, state)
+
+    def _mfb_interleaved(self, body: jax.Array, state):
+        n = body.shape[-1] // 2
+        n_out = n // self.decim
+        # the GEMM time-tile doubles as the phasor factor c, so each tile's
+        # residual rotation is one scalar-vector complex product per station
+        tile = _largest_divisor_at_most(n_out, 4096)
+        row, base, adv = self._phase_tables(n_out, self.decim, c=tile)
+        return _channelize_mfb(self._bmat, row, base, adv, self.decim,
+                               self.state_len, self._n_shift, tile,
+                               self.compute_dtype, body, state)
 
 
 def _modulated_bank(coeff: np.ndarray, dphi: np.ndarray) -> np.ndarray:
@@ -203,28 +230,91 @@ def _compose_phasor(phase, row, base, n):
     return pr * er - pi * ei, pr * ei + pi * er
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
-def _channelize_mfb(rhs, row, base, adv, decim, state_len, compute_dtype,
-                    i_wide, q_wide, state):
-    n = i_wide.shape[-1]
+def _largest_divisor_at_most(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return n
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _channelize_mfb(bmat, row, base, adv, decim, state_len, n_shift, tile,
+                    compute_dtype, body, state):
+    """MFB channelizer as an explicit im2col GEMM with in-tile rotation.
+
+    XLA's TPU lowering of the equivalent 2-input-channel strided conv never
+    reaches the MXU (measured: bf16 == f32 throughput, single-digit MFU);
+    the GEMM formulation does.  With window row j = 2*D*a + b the im2col
+    matrix is A static shifted slices of the phase-reshaped stream —
+    out[u, c] = sum_j B[j, c] * xb[2*D*u + j] — tiled by lax.map so the
+    materialized im2col stays a few MB.  The residual per-station rotation
+    happens inside the same tile: the factored oscillator's inner table
+    spans exactly one tile, so tile t's phasor is base * (one complex
+    scalar per station), and no (K, n_out) phasor/pre-rotation
+    intermediate ever exists in HBM (that traffic, not the conv FLOPs,
+    dominated the round-2 engine).  u8 input decodes exactly inside the
+    compute-dtype cast ((x-128)/128 is representable in bf16), so the 8x
+    f32 wideband stream never exists in HBM either.
+    """
+    n2 = body.shape[-1]
+    n = n2 // 2
     assert n % decim == 0, f"block length {n} must be divisible by D={decim}"
     assert n >= state_len, f"block length {n} < state length {state_len}"
-    xp = jnp.stack([jnp.concatenate([state["i_tail"], i_wide]),
-                    jnp.concatenate([state["q_tail"], q_wide])])  # (2, S+N)
-    out = jax.lax.conv_general_dilated(
-        xp[None].astype(compute_dtype), rhs.astype(compute_dtype),
-        window_strides=(decim,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )[0]                                                  # (2K, N/D)
-    c_r, c_i = out[0::2], out[1::2]
-    cos_t, sin_t = _compose_phasor(state["phase"], row, base, n // decim)
-    i_out = c_r * cos_t - c_i * sin_t
-    q_out = c_r * sin_t + c_i * cos_t
+    n_out = n // decim
+    two_d = 2 * decim
+    two_k = bmat.shape[1]
+
+    if body.dtype == jnp.uint8:
+        body_c = ((body.astype(compute_dtype) - compute_dtype(128.0))
+                  * compute_dtype(1.0 / 128.0))
+        tail_new = ((body[n2 - 2 * state_len:].astype(jnp.float32) - 128.0)
+                    / 128.0)
+    else:
+        body_c = body.astype(compute_dtype)
+        tail_new = body[n2 - 2 * state_len:].astype(jnp.float32)
+    xb = jnp.concatenate([state["tail"].astype(compute_dtype), body_c])
+
+    rows = n_out + n_shift
+    need = two_d * rows
+    xb = (jnp.pad(xb, (0, need - xb.shape[-1])) if need > xb.shape[-1]
+          else xb[:need])
+    xr = xb.reshape(rows, two_d)
+    bm = bmat.astype(compute_dtype)
+    if compute_dtype == jnp.bfloat16 and jax.default_backend() != "tpu":
+        # CPU's dot thunk lacks bf16 x bf16 -> f32; keep the bf16 rounding
+        # (numerics identical to storage-level bf16) but dot in f32
+        xr = xr.astype(jnp.float32)
+        bm = bm.astype(jnp.float32)
+
+    # per-block phase offset phasor (K, 1)
+    pr = jnp.cos(state["phase"])[:, None]
+    pi_ = jnp.sin(state["phase"])[:, None]
+    (rr, ri), (br, bi) = row, base                      # (K, A), (K, tile)
+
+    def tile_fn(a):
+        xt = jax.lax.dynamic_slice(xr, (a * tile, jnp.int32(0)),
+                                   (tile + n_shift, two_d))
+        xim = jnp.concatenate([xt[s:s + tile] for s in range(n_shift)],
+                              axis=1)                  # (tile, 2D*n_shift)
+        out = jnp.dot(xim, bm, preferred_element_type=jnp.float32)
+        c_r, c_i = out.T[0::2], out.T[1::2]            # (K, tile)
+        # tile phasor: (phase ⊕ row[a]) ⊗ base — one complex scalar/station
+        ra = jax.lax.dynamic_slice_in_dim(rr, a, 1, axis=1)  # (K, 1)
+        ia = jax.lax.dynamic_slice_in_dim(ri, a, 1, axis=1)
+        sr = pr * ra - pi_ * ia
+        si = pr * ia + pi_ * ra
+        cos_t = sr * br - si * bi
+        sin_t = sr * bi + si * br
+        return c_r * cos_t - c_i * sin_t, c_r * sin_t + c_i * cos_t
+
+    i_t, q_t = jax.lax.map(tile_fn, jnp.arange(n_out // tile,
+                                               dtype=jnp.int32))
+    k = two_k // 2
+    i_out = jnp.moveaxis(i_t, 0, 1).reshape(k, n_out)
+    q_out = jnp.moveaxis(q_t, 0, 1).reshape(k, n_out)
     new_state = {
         "phase": jnp.mod(state["phase"] + adv, jnp.float32(2.0 * np.pi)),
-        "i_tail": i_wide[n - state_len:],
-        "q_tail": q_wide[n - state_len:],
+        "tail": tail_new,
     }
     return (i_out, q_out), new_state
 
@@ -242,10 +332,10 @@ def _channelize(row, base, adv, rhs_i, rhs_q, decim, state_len, L,
     mix_i = x_i * cos_t - x_q * sin_t
     mix_q = x_i * sin_t + x_q * cos_t
     from sdr_tpu.ops.resample import _resample_apply
-    i_out, i_tail = _resample_apply(rhs_i, 1, decim, state_len, L, mix_i,
-                                    state["i_tail"])
-    q_out, q_tail = _resample_apply(rhs_q, 1, decim, state_len, L, mix_q,
-                                    state["q_tail"])
+    i_out, i_tail = _resample_apply(rhs_i, 1, decim, state_len, L,
+                                    jnp.float32, mix_i, state["i_tail"])
+    q_out, q_tail = _resample_apply(rhs_q, 1, decim, state_len, L,
+                                    jnp.float32, mix_q, state["q_tail"])
     new_state = {"phase": jnp.mod(state["phase"] + adv,
                                   jnp.float32(2.0 * np.pi)),
                  "i_tail": i_tail, "q_tail": q_tail}

@@ -74,7 +74,8 @@ class PolyphaseResampler:
     length N satisfies D | N and N >= state length.
     """
 
-    def __init__(self, coeff: np.ndarray, up: int = 1, down: int = 1):
+    def __init__(self, coeff: np.ndarray, up: int = 1, down: int = 1,
+                 compute_dtype=None):
         assert math.gcd(up, down) == 1 or (up == 1), (
             "U and D should be coprime (reference modes are)")
         self.up = int(up)
@@ -83,6 +84,9 @@ class PolyphaseResampler:
         B, L, M, s_eff = _build_filter_bank(np.asarray(coeff, np.float64), up, down)
         self.L = L
         self.state_len = s_eff
+        # bf16 option: coefficient + signal rounding only, f32 accumulation
+        # (~45-50 dB conv SNR — the fast profile for behavioral chains)
+        self.compute_dtype = compute_dtype or jnp.float32
         # conv rhs layout: (out_channels=U, in_channels=1, width=L)
         self._rhs = jnp.asarray(B.T[:, None, :], dtype=jnp.float32)
 
@@ -95,11 +99,11 @@ class PolyphaseResampler:
         Returns (y, new_tail) with y shape (..., N*U/D).
         """
         return _resample_apply(self._rhs, self.up, self.down, self.state_len,
-                               self.L, x, tail)
+                               self.L, self.compute_dtype, x, tail)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _resample_apply(rhs, up, down, state_len, L, x, tail):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _resample_apply(rhs, up, down, state_len, L, compute_dtype, x, tail):
     *lead, n = x.shape
     assert n % down == 0, f"block length {n} must be divisible by D={down}"
     assert n >= state_len, f"block length {n} < state length {state_len}"
@@ -112,7 +116,7 @@ def _resample_apply(rhs, up, down, state_len, L, x, tail):
     batch = int(np.prod(lead)) if lead else 1
     lhs = window_src.reshape(batch, 1, span)
     out = jax.lax.conv_general_dilated(
-        lhs, rhs,
+        lhs.astype(compute_dtype), rhs.astype(compute_dtype),
         window_strides=(down,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
@@ -165,10 +169,11 @@ class MultiFIR:
     per-stage tap tuning never forfeits the fusion.
     """
 
-    def __init__(self, coeffs: list[np.ndarray]):
+    def __init__(self, coeffs: list[np.ndarray], compute_dtype=None):
         self.taps = max(len(c) for c in coeffs)
         self.k = len(coeffs)
         self.state_len = self.taps - 1
+        self.compute_dtype = compute_dtype or jnp.float32
         rhs = np.stack([
             np.pad(np.asarray(c, np.float32),
                    (0, self.taps - len(c)))[::-1] for c in coeffs])
@@ -179,17 +184,19 @@ class MultiFIR:
 
     def __call__(self, x: jax.Array, tail: jax.Array):
         """x (..., N), tail (..., taps-1) -> (list of k outputs, new_tail)."""
-        return _multi_fir_apply(self._rhs, self.state_len, x, tail)
+        return _multi_fir_apply(self._rhs, self.state_len,
+                                self.compute_dtype, x, tail)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _multi_fir_apply(rhs, state_len, x, tail):
+@partial(jax.jit, static_argnums=(1, 2))
+def _multi_fir_apply(rhs, state_len, compute_dtype, x, tail):
     *lead, n = x.shape
     xp = jnp.concatenate([tail, x], axis=-1)
     batch = int(np.prod(lead)) if lead else 1
     lhs = xp.reshape(batch, 1, xp.shape[-1])
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
+        lhs.astype(compute_dtype), rhs.astype(compute_dtype),
+        window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
     )  # (batch, k, n)

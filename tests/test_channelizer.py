@@ -325,3 +325,47 @@ def test_cli_wideband_u8(tmp_path):
         rate, data = read_wav(os.path.join(wav_dir, f"station{k}.wav"))
         snr = tone_snr_db(data.astype(np.float64), rate, tone_f, skip=2000)
         assert snr > 18.0, f"station {k}: {snr:.1f} dB"
+
+
+def test_mfb_bf16_close_to_f32(rng):
+    """bf16 MFB conv (compute_dtype='bf16') matches the exact f32 engine to
+    coefficient-rounding level — ~40+ dB station SNR, transparent under FM
+    demod's ~25 dB distortion floor."""
+    fs_wide, fs_st = 9.6e6, 2.4e6
+    freqs = [-1.5e6, 0.0, 1.8e6]
+    n = 4 * 12800
+    iw = rng.standard_normal(n).astype(np.float32) * 0.2
+    qw = rng.standard_normal(n).astype(np.float32) * 0.2
+    ref = WidebandChannelizer(fs_wide, fs_st, freqs)
+    fast = WidebandChannelizer(fs_wide, fs_st, freqs, compute_dtype="bf16")
+    sr, sf = ref.init_state(), fast.init_state()
+    for _ in range(2):
+        (ir, qr), sr = ref(jnp.asarray(iw), jnp.asarray(qw), sr)
+        (i2, q2), sf = fast(jnp.asarray(iw), jnp.asarray(qw), sf)
+        for a, b in ((ir, i2), (qr, q2)):
+            a, b = np.asarray(a), np.asarray(b)
+            snr = 10 * np.log10(np.mean(a * a)
+                                / max(np.mean((a - b) ** 2), 1e-20))
+            assert snr > 35.0, f"bf16 channelizer SNR {snr:.1f} dB"
+
+
+def test_mfb_interleaved_u8_ingest(rng):
+    """call_interleaved on a raw u8 stream == decode-then-channelize: the
+    (x-128)/128 semantics (src/iofunc.cpp:62-69) hold exactly inside the
+    compute cast, with no f32 wideband materialization."""
+    fs_wide, fs_st = 9.6e6, 2.4e6
+    freqs = [-1.5e6, 1.8e6]
+    n = 2 * 12800
+    u8 = rng.integers(0, 256, size=2 * n, dtype=np.uint8)
+    f = (u8.astype(np.float32) - 128.0) / 128.0
+    chan_a = WidebandChannelizer(fs_wide, fs_st, freqs)
+    chan_b = WidebandChannelizer(fs_wide, fs_st, freqs)
+    sa, sb = chan_a.init_state(), chan_b.init_state()
+    for _ in range(2):
+        (ia, qa), sa = chan_a(jnp.asarray(np.ascontiguousarray(f[0::2])),
+                              jnp.asarray(np.ascontiguousarray(f[1::2])), sa)
+        (ib, qb), sb = chan_b.call_interleaved(jnp.asarray(u8), sb)
+        np.testing.assert_allclose(np.asarray(ib), np.asarray(ia),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(qb), np.asarray(qa),
+                                   atol=2e-6)
