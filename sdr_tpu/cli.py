@@ -254,7 +254,8 @@ def _run_wideband(args, cfg, stereo, rds):
               file=_sys.stderr)
     else:
         freqs = [float(f) for f in args.freqs.split(",") if f]
-    chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs)
+    chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs,
+                               compute_dtype="bf16" if args.fast else "f32")
     fast = dict(fused_frontend=False,
                 pll_impl="ff" if args.fast else "auto")
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
@@ -271,8 +272,11 @@ def _run_wideband(args, cfg, stereo, rds):
                 return
             yield data
 
-    audio, rds_soft = [], []
-    n_wide = 0
+    mrds = None
+    if rds:
+        from sdr_tpu.rds.streaming import MultiStreamingRds
+        mrds = MultiStreamingRds(cfg.rds_sps, len(freqs))
+    audio = []
     for out, _state in wrx.stream(file_chunks(),
                                   blocks_per_step=args.blocks_per_step,
                                   scan_steps=4):
@@ -281,9 +285,13 @@ def _run_wideband(args, cfg, stereo, rds):
                                    np.asarray(out["right"])], axis=-1))
         else:
             audio.append(np.asarray(out["mono"]))
-        if "rds_soft" in out:
-            rds_soft.append(np.asarray(out["rds_soft"]))
-        n_wide += 1
+        if mrds is not None and "rds_soft" in out:
+            # LIVE per-station decode as the wideband capture streams
+            for i, _groups in mrds.push(np.asarray(out["rds_soft"])):
+                info = mrds.info(i)
+                print(f"  {freqs[i]/1e6:+.2f} MHz RDS: PI={info.pi:#06x} "
+                      f"PS={info.ps_name!r} ({info.groups_seen} groups)",
+                      file=_sys.stderr)
     fin.close()
     if not audio:
         print("capture shorter than one block", file=_sys.stderr)
@@ -296,23 +304,27 @@ def _run_wideband(args, cfg, stereo, rds):
         dst = os.path.join(args.wav_dir, f"station{i}.wav")
         wavio.write_wav(dst, cfg.audio_fs, pcm)
         print(f"  {f/1e6:+.2f} MHz -> {dst}", file=_sys.stderr)
-    if rds and rds_soft:
-        from sdr_tpu.rds import decode_rds_soft
-        soft = np.concatenate(rds_soft, axis=-1)
+    if mrds is not None:
         for i, f in enumerate(freqs):
-            info = decode_rds_soft(soft[i], cfg.rds_sps)
-            msg = (f"PI={info.pi:#06x} PS={info.ps_name!r}"
+            info = mrds.info(i)
+            msg = (f"PI={info.pi:#06x} PS={info.ps_name!r} "
+                   f"({info.groups_seen} groups)"
                    if info.pi is not None else "no sync")
-            print(f"  {f/1e6:+.2f} MHz RDS: {msg}", file=_sys.stderr)
+            print(f"  {f/1e6:+.2f} MHz RDS final: {msg}", file=_sys.stderr)
     return 0
 
 
 def _run_stations(args, cfg, stereo, rds):
-    """Batch-decode N station captures in one jitted program (channel DP).
+    """Stream-decode N station captures in one jitted program (channel DP).
 
-    Files are truncated to the shortest capture so the batch is rectangular;
-    on a multi-device mesh the same entry point shards stations across
-    devices (sdr_tpu.parallel.channels).
+    Ingest is streaming: captures are memory-mapped and fed one jit step at
+    a time (bounded by blocks_per_step — captures larger than RAM work),
+    with per-station RDS decoded LIVE as groups arrive
+    (rds/streaming.py MultiStreamingRds) — the reference's live model
+    (src/project.cpp:392-393) at fleet scale.  Files are truncated to the
+    shortest capture so the batch is rectangular; on a multi-device mesh
+    the same entry point shards stations across devices
+    (sdr_tpu.parallel.channels).
     """
     import os
     import sys as _sys
@@ -326,38 +338,68 @@ def _run_stations(args, cfg, stereo, rds):
         print("--stations requires --wav-dir", file=_sys.stderr)
         return 1
     os.makedirs(args.wav_dir, exist_ok=True)
-    caps = [np.fromfile(p, dtype=np.uint8) for p in paths]
-    n = min(len(c) for c in caps)
-    batch = np.stack([c[:n] for c in caps])
-    print(f"Decoding {len(paths)} stations x {n//2} IQ samples (batched)",
+    maps = [np.memmap(p, dtype=np.uint8, mode="r") for p in paths]
+    k = len(paths)
+    n = min(m.shape[0] for m in maps)
+    print(f"Decoding {k} stations x {n//2} IQ samples (streaming, batched)",
           file=_sys.stderr)
 
     fast = (dict(fused_frontend="bf16", pll_impl="ff")
             if args.fast else {})
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
-    out, _ = rx.run(batch, blocks_per_step=args.blocks_per_step)
-    for i, path in enumerate(paths):
+    bs = rx.block_size_u8(args.blocks_per_step)
+    if bs > n:
+        bs = (n // rx.block_align_u8()) * rx.block_align_u8()
+        if bs == 0:
+            print("captures shorter than one block", file=_sys.stderr)
+            return 1
+    step = jax.jit(rx.step)
+    state = rx.init_state((k,))
+    mrds = None
+    if rds:
+        from sdr_tpu.rds.streaming import MultiStreamingRds
+        mrds = MultiStreamingRds(cfg.rds_sps, k)
+    audio_chunks: list[np.ndarray] = []
+
+    def drain(out):
         if stereo:
-            frames = np.stack([np.asarray(out["left"][i]),
-                               np.asarray(out["right"][i])], axis=1)
-            pcm = np.where(np.isnan(frames), 0.0, frames * 16384.0
-                           ).astype(np.int16)
+            audio_chunks.append(np.stack([np.asarray(out["left"]),
+                                          np.asarray(out["right"])], axis=-1))
         else:
-            mono = np.asarray(out["mono"][i])
-            pcm = np.where(np.isnan(mono), 0.0, mono * 16384.0
-                           ).astype(np.int16)
+            audio_chunks.append(np.asarray(out["mono"]))
+        if mrds is not None:
+            # LIVE per-station decode: groups print as they arrive
+            for i, _groups in mrds.push(np.asarray(out["rds_soft"])):
+                info = mrds.info(i)
+                print(f"  station {i} RDS: PI={info.pi:#06x} "
+                      f"PS={info.ps_name!r} RT={info.radio_text.rstrip()!r} "
+                      f"({info.groups_seen} groups)", file=_sys.stderr)
+
+    pending = None  # overlap host slicing with device compute
+    for off in range(0, n - bs + 1, bs):
+        batch = np.stack([m[off:off + bs] for m in maps])
+        if pending is not None:
+            drain(pending)
+        state, out = step(state, jax.numpy.asarray(batch))
+        pending = out
+    if pending is not None:
+        drain(pending)
+
+    full = np.concatenate(audio_chunks, axis=1)
+    for i, path in enumerate(paths):
+        pcm = np.where(np.isnan(full[i]), 0.0, full[i] * 16384.0
+                       ).astype(np.int16)
         dst = os.path.join(args.wav_dir, f"station{i}.wav")
         wavio.write_wav(dst, cfg.audio_fs, pcm)
         print(f"  station {i} ({os.path.basename(path)}) -> {dst}",
               file=_sys.stderr)
-    if rds:
-        from sdr_tpu.rds import decode_rds_soft
-        for i, path in enumerate(paths):
-            info = decode_rds_soft(np.asarray(out["rds_soft"][i]),
-                                   cfg.rds_sps)
-            msg = (f"PI={info.pi:#06x} PS={info.ps_name!r}"
+    if mrds is not None:
+        for i in range(k):
+            info = mrds.info(i)
+            msg = (f"PI={info.pi:#06x} PS={info.ps_name!r} "
+                   f"({info.groups_seen} groups)"
                    if info.pi is not None else "no sync")
-            print(f"  station {i} RDS: {msg}", file=_sys.stderr)
+            print(f"  station {i} RDS final: {msg}", file=_sys.stderr)
     return 0
 
 

@@ -217,3 +217,39 @@ class StreamingRdsDecoder:
         """Carried state footprint (bounds the O(1)-memory claim)."""
         return (self._soft_carry.nbytes + self._phase_scores.nbytes
                 + self._sym_buf.nbytes + self._bits.nbytes)
+
+
+class MultiStreamingRds:
+    """K live per-station RDS decoders — the fleet-scale live decode.
+
+    The reference's live model is one station piped through one process
+    (src/project.cpp:392-393); scaled to the framework's N-station batch
+    (channel DP / wideband channelizer), live decode means N incremental
+    decoders fed from the batched soft output.  At 1187.5 bit/s per station
+    the host-side work is microseconds per block even at hundreds of
+    stations, so the decoders run as a plain loop over
+    `StreamingRdsDecoder`s (the accelerator-side GF(2) frame-sync matmul,
+    rds/matrix.py syndromes_sliding_device, is available for offline batch
+    sweeps); memory is O(K) decoder states, independent of stream length.
+    """
+
+    def __init__(self, sps: int, k: int, **kw):
+        self.decoders = [StreamingRdsDecoder(sps, **kw) for _ in range(k)]
+
+    def push(self, soft_batch: np.ndarray) -> list[tuple[int, list[Group]]]:
+        """Consume one (K, n) block of per-station RRC soft output.
+
+        Returns [(station_index, new_groups), ...] for stations that
+        synced new groups this block; per-station StationInfo updates
+        incrementally (live PI/PS/RT)."""
+        soft = np.asarray(soft_batch)
+        assert soft.shape[0] == len(self.decoders), soft.shape
+        out = []
+        for i, dec in enumerate(self.decoders):
+            new = dec.push(soft[i])
+            if new:
+                out.append((i, new))
+        return out
+
+    def info(self, i: int) -> StationInfo:
+        return self.decoders[i].info

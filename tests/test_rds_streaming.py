@@ -215,3 +215,44 @@ def test_streaming_burst_correction():
         dec.groups.extend(dec._advance_sync())
     assert len(dec.groups) == 6
     assert dec.bits_corrected == 3
+
+
+def test_multi_streaming_matches_per_channel_offline():
+    """MultiStreamingRds (fleet-scale live decode, VERDICT r2 item 4): N
+    stations pushed block-wise decode the same groups as N offline
+    decodes of each channel's full soft stream."""
+    from sdr_tpu.rds import decode_rds_soft
+    from sdr_tpu.rds import tx as rds_tx
+    from sdr_tpu.rds.streaming import MultiStreamingRds
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+
+    cfg = MODES[0]
+    sec = 0.8
+    n = int(sec * cfg.rf_fs)
+    caps = []
+    for k in range(3):
+        bits = rds_tx.standard_group_stream(pi=0x1000 + k,
+                                            ps_name=f"STATION{k}",
+                                            n_groups=12)
+        caps.append(tx.synthesize_capture(
+            cfg, seconds=sec, mono=tx.tone(cfg.rf_fs, 700.0 + 200 * k, n),
+            rds_baseband=rds_tx.bits_to_baseband(bits, cfg.rf_fs)[:n],
+            a_rds=0.12, seed=k))
+    batch = np.stack(caps)
+    rx = Receiver(0, rds=True, pll_impl="ff")
+    out, _ = rx.run(batch)
+    soft = np.asarray(out["rds_soft"])     # (3, n_soft)
+
+    mrds = MultiStreamingRds(cfg.rds_sps, 3)
+    bs = soft.shape[-1] // 10
+    for b in range(10):
+        mrds.push(soft[:, b * bs:(b + 1) * bs])
+    for k in range(3):
+        offline = decode_rds_soft(soft[k], cfg.rds_sps)
+        live = mrds.info(k)
+        assert offline.pi == 0x1000 + k
+        assert live.pi == offline.pi
+        assert live.ps_name == offline.ps_name
+        assert live.groups_seen == offline.groups_seen
