@@ -27,7 +27,7 @@ import numpy as np
 
 
 def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3,
-                repeats: int = 16) -> float:
+                repeats: int = 16, spread: bool = False):
     """Sustained aggregate IQ Msamples/s over a scanned multi-block program.
 
     `repeats` re-scans the same device-resident blocks with the carried
@@ -64,12 +64,18 @@ def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3,
         return acc
 
     total = float(run_all(state0, blocks))  # warm/compile + sync
-    t0 = time.perf_counter()
+    dts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         total = float(run_all(state0, blocks))
-    dt = (time.perf_counter() - t0) / reps
+        dts.append(time.perf_counter() - t0)
     assert np.isfinite(total)
-    return n_ch * (bs // 2) * n_steps * repeats / dt / 1e6
+    work = n_ch * (bs // 2) * n_steps * repeats / 1e6
+    vals = sorted(work / dt for dt in dts)
+    med = vals[len(vals) // 2]
+    if spread:
+        return med, (vals[0], vals[-1])
+    return med
 
 
 def _bench_h2d(n_bytes: int = 8 << 20, reps: int = 3) -> float:
@@ -96,8 +102,12 @@ def main() -> int:
     # front-end (exact u8 decode; ~53 dB channelizer SNR from coefficient
     # rounding — transparent at FM demod's ~25 dB distortion floor).
     # 128ch/50-block steps is the measured utilization sweet spot on v5e.
-    msps = _bench_scan(Receiver(0, fused_frontend="bf16"), 128, 50, 10)
-    print(f"mono  128ch fused-bf16: {msps:8.1f} IQ MS/s/chip", file=sys.stderr)
+    # Median of 5 timed reps with min..max spread (VERDICT r2 weak item 1:
+    # the quoted headline must carry its variance).
+    msps, (lo, hi) = _bench_scan(Receiver(0, fused_frontend="bf16"),
+                                 128, 50, 10, reps=5, spread=True)
+    print(f"mono  128ch fused-bf16: {msps:8.1f} IQ MS/s/chip "
+          f"(median of 5; spread {lo:.0f}..{hi:.0f})", file=sys.stderr)
 
     # emit the headline immediately: tunnel-side compiles of the optional
     # extras below can take minutes each when the remote cache is cold
@@ -118,11 +128,11 @@ def main() -> int:
     if time_left():
         msps_stc = _bench_scan(Receiver(0, stereo=True, rds=True,
                                         fused_frontend="bf16",
-                                        pll_impl="pallas_chunked",
-                                        pll_chunk=32),
-                               128, 50, 8)
-        print(f"stereo+RDS 128ch (fused bf16, Pallas chunked-32 PLL): "
-              f"{msps_stc:5.1f} IQ MS/s/chip", file=sys.stderr)
+                                        pll_impl="ff",
+                                        conv_dtype="bf16"),
+                               128, 25, 8)
+        print(f"stereo+RDS 128ch (fused bf16, feedforward carrier, bf16 "
+              f"convs): {msps_stc:5.1f} IQ MS/s/chip", file=sys.stderr)
     if time_left():
         h2d = _bench_h2d()
         print(f"H2D bandwidth (dev-box tunnel): {h2d:.1f} MB/s",

@@ -70,8 +70,16 @@ class Receiver:
            differs ~1e-4 dB because the kernel accumulates sum(I^2+Q^2)
            sequentially in one f32 accumulator while the unfused path uses
            jnp.mean's tree reduction; default on).
-      filter_engine: 'direct' (polyphase conv) | 'fft' (overlap-save) for
-           the decimate-only FIR stages.
+      fused_ifbank: False | True/'f32' | 'bf16' — run ALL post-demod IF
+           FIRs (stereo channel + pilot + RDS channel BPFs, squaring,
+           carrier BPF) as banded MXU matmuls in one Pallas VMEM pass
+           (ops/pallas/ifbank_kernel.py); stereo+rds+direct engine only.
+      filter_engine: 'direct' (polyphase conv) | 'fft' (overlap-save,
+           incl. the U>1 rational stages of modes 2/3 via spectral
+           replication) — the two interchangeable convolution engines.
+      conv_dtype: 'f32' (exact) | 'bf16' — compute every FIR stage in
+           bfloat16 with f32 accumulation (~45-50 dB per-conv SNR,
+           transparent under FM demod's ~25 dB floor; 4x MXU conv rate).
       stereo_phase_adjust: radians added to the recovered 38 kHz carrier
            phase (captures with non-cosine pilot/subcarrier conventions).
     """
@@ -90,7 +98,9 @@ class Receiver:
                  fe_out_tile: int = 128,
                  fe_sub_tiles: int = 2,
                  fuse_demod: bool = True,
+                 fused_ifbank: bool | str = False,
                  filter_engine: str = "direct",
+                 conv_dtype: str = "f32",
                  stereo_phase_adjust: float = 0.0,
                  compat_pll: bool = False,
                  deemphasis_us: float | None = None,
@@ -136,6 +146,12 @@ class Receiver:
         # — the two interchangeable convolution engines of the north star.
         assert filter_engine in ("direct", "fft")
         self.filter_engine = filter_engine
+        # bf16 compute for every post-demod FIR stage (f32 accumulation):
+        # ~45-50 dB per-conv SNR, well under FM demod's ~25 dB distortion
+        # floor — the MXU runs bf16 at 4x the f32 conv rate (fast profile)
+        assert conv_dtype in ("f32", "bf16")
+        self.conv_dtype = conv_dtype
+        _cdt = jnp.bfloat16 if conv_dtype == "bf16" else jnp.float32
         # trim for the recovered 38 kHz subcarrier phase: the loop locks the
         # NCO to the pilot's cosine phase (see ops/pll.py analysis); captures
         # using a different pilot/subcarrier phase convention can be
@@ -154,12 +170,12 @@ class Receiver:
             from sdr_tpu.ops.iir import deemphasis_alpha
             self.deemph_alpha = deemphasis_alpha(cfg.audio_fs, deemphasis_us)
 
-        def _dec_filter(coeff, down=1):
-            """Decimating FIR in the selected engine (U=1 stages only)."""
+        def _dec_filter(coeff, down=1, up=1):
+            """Resampling FIR in the selected engine."""
             if filter_engine == "fft":
                 from sdr_tpu.ops.fft_conv import OverlapSaveFIR
-                return OverlapSaveFIR(coeff, down)
-            return PolyphaseResampler(coeff, 1, down)
+                return OverlapSaveFIR(coeff, down, up)
+            return PolyphaseResampler(coeff, up, down, compute_dtype=_cdt)
 
         if_fs = cfg.if_fs
         # --- filter design (once, host-side; reference project.cpp:37,97,104,117)
@@ -190,11 +206,8 @@ class Receiver:
         # _frontend_demod_kernel; tested in tests/test_pallas.py)
         self._fuse_demod = bool(fused_frontend and fuse_demod
                                 and demod == "discriminator")
-        if filter_engine == "fft" and cfg.audio_interp == 1:
-            self.audio_resampler = _dec_filter(audio_coeff, cfg.audio_decim)
-        else:
-            self.audio_resampler = PolyphaseResampler(
-                audio_coeff, cfg.audio_interp, cfg.audio_decim)
+        self.audio_resampler = _dec_filter(audio_coeff, cfg.audio_decim,
+                                           cfg.audio_interp)
         # one conv for ALL the IF band-pass stages reading fm_demod: stereo
         # channel 22-54k + pilot 18.5-19.5k + RDS channel 54-60k share the
         # input stream and tail semantics (reference runs them as separate
@@ -210,25 +223,40 @@ class Receiver:
                 from sdr_tpu.ops.resample import MultiFIR
                 rds_chan3 = firdes.bandpass(if_fs, cfg.rds_lo, cfg.rds_hi,
                                             cfg.bp_taps)
-                self.if_bpf3 = MultiFIR([chan_coeff, pilot_coeff, rds_chan3])
+                self.if_bpf3 = MultiFIR([chan_coeff, pilot_coeff, rds_chan3],
+                                        compute_dtype=_cdt)
                 self.stereo_bpf = None
                 self.channel_filter = self.carrier_filter = None
             elif filter_engine == "direct":
                 # one conv, two output channels: channel + pilot BPFs share
                 # the input stream and tail (ops/resample.py MultiFIR)
                 from sdr_tpu.ops.resample import MultiFIR
-                self.stereo_bpf = MultiFIR([chan_coeff, pilot_coeff])
+                self.stereo_bpf = MultiFIR([chan_coeff, pilot_coeff],
+                                           compute_dtype=_cdt)
                 self.channel_filter = self.carrier_filter = None
             else:
                 self.stereo_bpf = None
                 self.channel_filter = _dec_filter(chan_coeff)
                 self.carrier_filter = _dec_filter(pilot_coeff)
-            if filter_engine == "fft" and cfg.audio_interp == 1:
-                self.stereo_audio_resampler = _dec_filter(audio_coeff,
-                                                          cfg.audio_decim)
-            else:
-                self.stereo_audio_resampler = PolyphaseResampler(
-                    audio_coeff, cfg.audio_interp, cfg.audio_decim)
+            self.stereo_audio_resampler = _dec_filter(
+                audio_coeff, cfg.audio_decim, cfg.audio_interp)
+        # every post-demod FIR of the stereo+RDS chain in ONE Pallas VMEM
+        # pass (banded MXU matmuls + in-kernel squaring nonlinearity):
+        # XLA's conv lowering for these 1-input-channel shapes never
+        # reaches the MXU (ops/pallas/ifbank_kernel.py)
+        self._ifbank = None
+        if fused_ifbank and stereo and rds and filter_engine == "direct":
+            from sdr_tpu.ops.pallas.ifbank_kernel import FusedIFBank
+            dt = jnp.bfloat16 if fused_ifbank == "bf16" else jnp.float32
+            self._ifbank = FusedIFBank(
+                firdes.bandpass(if_fs, cfg.stereo_lo, cfg.stereo_hi,
+                                cfg.bp_taps),
+                firdes.bandpass(if_fs, cfg.pilot_lo, cfg.pilot_hi,
+                                cfg.bp_taps),
+                firdes.bandpass(if_fs, cfg.rds_lo, cfg.rds_hi, cfg.bp_taps),
+                firdes.bandpass(if_fs, cfg.rds_carrier_lo,
+                                cfg.rds_carrier_hi, cfg.bp_taps),
+                compute_dtype=dt)
         if rds:
             u, d = cfg.rds_resample
             self.rds_u, self.rds_d = u, d
@@ -241,7 +269,8 @@ class Receiver:
             self.rds_channel_filter = (None if self.if_bpf3 is not None
                                        else _dec_filter(rds_chan))
             self.rds_carrier_filter = _dec_filter(rds_carr)
-            self.rds_resampler = PolyphaseResampler(rds_lpf, u, d)
+            self.rds_resampler = PolyphaseResampler(rds_lpf, u, d,
+                                                    compute_dtype=_cdt)
             self.rds_rrc = _dec_filter(rrc)
             # group-delay alignment of the channel path against the
             # square->BPF(51 taps)->PLL carrier path (spec Fig 10 all-pass)
@@ -279,7 +308,12 @@ class Receiver:
                          deemph=jnp.zeros(batch_shape, f32))
         stereo = None
         if self.stereo:
-            if self.if_bpf3 is not None:
+            if self._ifbank is not None:
+                # fused IF bank: one carried raw-fm context, no per-filter
+                # tails anywhere downstream
+                ch_tail = self._ifbank.init_state(batch_shape)
+                ca_tail = jnp.zeros(batch_shape + (0,), f32)
+            elif self.if_bpf3 is not None:
                 # fused 3-filter conv: the single shared tail lives here;
                 # RdsState.channel_tail is empty (see below)
                 ch_tail = self.if_bpf3.init_state(batch_shape)
@@ -303,9 +337,12 @@ class Receiver:
         if self.rds:
             rds = RdsState(
                 channel_tail=(jnp.zeros(batch_shape + (0,), f32)
-                              if self.if_bpf3 is not None else
+                              if (self.if_bpf3 is not None
+                                  or self._ifbank is not None) else
                               self.rds_channel_filter.init_state(batch_shape)),
-                carrier_tail=self.rds_carrier_filter.init_state(batch_shape),
+                carrier_tail=(jnp.zeros(batch_shape + (0,), f32)
+                              if self._ifbank is not None else
+                              self.rds_carrier_filter.init_state(batch_shape)),
                 pll=pll_init(batch_shape),
                 delay=jnp.zeros(batch_shape + (self.rds_delay,), f32),
                 lpf_resamp_tail=self.rds_resampler.init_state(batch_shape),
@@ -427,10 +464,20 @@ class Receiver:
 
         # --- IF band-pass extraction (fused into one conv where possible)
         rds_channel = None
+        rds_carrier_in = None
         if self.stereo:
             st = state.stereo
             # L-R DSB extraction + pilot isolation (project.cpp:162-165)
-            if self.if_bpf3 is not None:
+            if self._ifbank is not None:
+                with jax.named_scope("ifbank_fused"):
+                    (channel, pilot, rds_channel, rds_carrier_in,
+                     channel_tail) = self._ifbank(
+                        fm_demod, st.channel_tail,
+                        interpret=jax.default_backend() != "tpu")
+                carrier_tail = st.carrier_tail
+                rds_channel_tail = state.rds.channel_tail  # empty
+                rds_carrier_tail = state.rds.carrier_tail  # empty
+            elif self.if_bpf3 is not None:
                 # stereo channel + pilot + RDS channel: ONE conv, one tail
                 (channel, pilot, rds_channel), channel_tail = self.if_bpf3(
                     fm_demod, st.channel_tail)
@@ -451,10 +498,11 @@ class Receiver:
                 # channel extraction 54-60 kHz (reference src/project.cpp:245)
                 rds_channel, rds_channel_tail = self.rds_channel_filter(
                     fm_demod, rs.channel_tail)
-            # squaring nonlinearity -> 114 kHz line (src/project.cpp:248-252)
-            squared = rds_channel * rds_channel
-            rds_carrier_in, rds_carrier_tail = self.rds_carrier_filter(
-                squared, rs.carrier_tail)
+            if rds_carrier_in is None:
+                # squaring nonlinearity -> 114 kHz line (project.cpp:248-252)
+                squared = rds_channel * rds_channel
+                rds_carrier_in, rds_carrier_tail = self.rds_carrier_filter(
+                    squared, rs.carrier_tail)
 
         # --- carrier recovery: the two PLLs batch into one kernel launch
         if self._joint_pll:
@@ -538,6 +586,9 @@ class Receiver:
             # keep the feedforward engine's coherent-integration window grid
             # block-size independent (it clamps to a divisor otherwise)
             align = int(np.lcm(align, 2 * self.cfg.rf_decim * self.pll_window))
+        if self._ifbank is not None:
+            align = int(np.lcm(align,
+                               2 * self.cfg.rf_decim * self._ifbank.out_tile))
         # largest carried tail: audio resampler needs ceil((taps-1)/U) IF
         # samples per block
         min_if = self.audio_resampler.state_len

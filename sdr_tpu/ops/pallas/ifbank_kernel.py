@@ -1,0 +1,190 @@
+"""Fused IF-bank Pallas kernel: every post-demod FIR of the stereo+RDS
+chain in one VMEM pass.
+
+The XLA path runs four stride-1 51-tap FIRs over the demodulated IF
+(stereo channel 22-54 kHz + pilot 18.5-19.5 kHz + RDS channel 54-60 kHz
+via MultiFIR, then the squaring nonlinearity and the 113.5-114.5 kHz
+carrier BPF — reference src/project.cpp:162-165,245-255).  Measured on
+v5e, XLA's conv lowering for these single-input-channel shapes never
+reaches the MXU (bf16 == f32 throughput) and the stages dominate the
+stereo+RDS step once the PLL is feedforward.  This kernel restructures the
+whole group as banded matmuls on (C, tile) blocks:
+
+  window (C, OT+ctx) --A_cp-->  [channel | pilot]            (C, 2*OT)
+  window (C, OT+ctx) --A_re-->  rds_channel extended         (C, OT+T-1)
+  square (VPU)                                               (C, OT+T-1)
+  squared             --A_ca->  carrier_in                   (C, OT)
+
+where the band matrices hold the FIR taps on shifted diagonals (zero
+elsewhere) and the rds_channel is computed T-1 samples into the past so
+the carrier BPF's own context never needs a cross-tile carry — the only
+streaming state is the caller's carried fm tail (ctx = 128 raw samples,
+covering 2*(taps-1)).  Channels ride the matmul M dimension; bf16 mode
+casts windows + bands (f32 accumulation, ~45-50 dB per-conv SNR).
+
+Bit-consistency vs the XLA MultiFIR path is to reduction-order (~1 ULP);
+tested in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CTX = 128  # carried fm context (raw IF samples); covers taps <= 65
+
+
+def _band(coeff: np.ndarray, in_rows: int, n_out: int,
+          out_offset: int) -> np.ndarray:
+    """Band matrix A[m, n] = h[n - out_offset ... ]: window col m holds
+    input sample (tile_start + m - CTX); output col n is the FIR at
+    position (tile_start + n - out_offset)."""
+    taps = len(coeff)
+    a = np.zeros((in_rows, n_out), np.float32)
+    for n in range(n_out):
+        pos = n - out_offset          # output position rel. tile start
+        for k in range(taps):
+            m = pos - k + CTX
+            if 0 <= m < in_rows:
+                a[m, n] = coeff[k]
+    return a
+
+
+def _ifbank_kernel(xp_ref, acp_ref, are_ref, aca_ref, chan_ref, pilot_ref,
+                   rdsch_ref, carr_ref, scratch_ref, sem, *, in_len,
+                   out_tile, ext, compute_dtype):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    stride = out_tile
+
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[:, pl.ds(idx * stride, in_len)],
+            scratch_ref.at[slot], sem.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        get_dma((t + 1) % 2, t + 1).start()
+
+    get_dma(t % 2, t).wait()
+    w = scratch_ref[t % 2].astype(compute_dtype)        # (C, OT+CTX)
+    cp = jnp.dot(w, acp_ref[:, :], preferred_element_type=jnp.float32)
+    chan_ref[:, :] = cp[:, :out_tile]
+    pilot_ref[:, :] = cp[:, out_tile:]
+    re = jnp.dot(w, are_ref[:, :], preferred_element_type=jnp.float32)
+    rdsch_ref[:, :] = re[:, ext:]                       # aligned outputs
+    sq = (re * re).astype(compute_dtype)                # (C, OT+ext)
+    carr_ref[:, :] = jnp.dot(sq, aca_ref[:, :],
+                             preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "ext", "interpret",
+                                             "compute_dtype"))
+def _ifbank_call(xp, acp, are, aca, *, out_tile, ext, interpret,
+                 compute_dtype=jnp.float32):
+    c, total = xp.shape
+    in_len = out_tile + CTX
+    n_out = total - CTX
+    grid = n_out // out_tile
+    kernel = functools.partial(_ifbank_kernel, in_len=in_len,
+                               out_tile=out_tile, ext=ext,
+                               compute_dtype=compute_dtype)
+    acp = acp.astype(compute_dtype)
+    are = are.astype(compute_dtype)
+    aca = aca.astype(compute_dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=tuple(jax.ShapeDtypeStruct((c, n_out), jnp.float32)
+                        for _ in range(4)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(a.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+           for a in (acp, are, aca)],
+        out_specs=tuple(pl.BlockSpec((c, out_tile), lambda t: (0, t),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((2, c, in_len), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xp, acp, are, aca)
+    return outs
+
+
+class FusedIFBank:
+    """Stateful fused IF filter bank for the stereo+RDS chain.
+
+    __call__(fm, tail) -> (channel, pilot, rds_channel, carrier_in,
+    new_tail); tail = carried last CTX fm samples (zeros initially,
+    matching zero-filled FIR tails)."""
+
+    def __init__(self, chan_coeff, pilot_coeff, rds_coeff, carr_coeff,
+                 out_tile: int = 512, compute_dtype=None):
+        taps = max(len(c) for c in (chan_coeff, pilot_coeff, rds_coeff,
+                                    carr_coeff))
+        assert 2 * (taps - 1) <= CTX, f"taps {taps} exceeds CTX {CTX}"
+        self.taps = taps
+        self.out_tile = int(out_tile)
+        self.compute_dtype = compute_dtype or jnp.float32
+        ext = taps - 1
+        self.ext = ext
+        in_rows = self.out_tile + CTX
+        acp = np.concatenate([
+            _band(np.asarray(chan_coeff, np.float64), in_rows,
+                  self.out_tile, 0),
+            _band(np.asarray(pilot_coeff, np.float64), in_rows,
+                  self.out_tile, 0)], axis=1)
+        are = _band(np.asarray(rds_coeff, np.float64), in_rows,
+                    self.out_tile + ext, ext)
+        # carrier band consumes the squared extended rds stream: its row m
+        # holds position (tile + m - ext), so the diagonal sits at
+        # m = n - k + ext (same derivation as _band with CTX -> ext)
+        aca = np.zeros((self.out_tile + ext, self.out_tile), np.float32)
+        carr = np.asarray(carr_coeff, np.float64)
+        for n in range(self.out_tile):
+            for k in range(len(carr)):
+                m = n - k + ext
+                if 0 <= m < self.out_tile + ext:
+                    aca[m, n] = carr[k]
+        self._acp = jnp.asarray(acp)
+        self._are = jnp.asarray(are)
+        self._aca = jnp.asarray(aca)
+
+    def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
+        return jnp.zeros(batch_shape + (CTX,), jnp.float32)
+
+    def __call__(self, fm: jax.Array, tail: jax.Array,
+                 interpret: bool = False):
+        squeeze = fm.ndim == 1
+        if squeeze:
+            fm = fm[None]
+            tail = tail[None]
+        c, n = fm.shape
+        assert n % self.out_tile == 0, (
+            f"IF block {n} not divisible by tile {self.out_tile}")
+        xp = jnp.concatenate([tail, fm], axis=-1)
+        c_pad = -(-c // 8) * 8
+        if c_pad != c:
+            xp = jnp.concatenate(
+                [xp, jnp.zeros((c_pad - c, xp.shape[-1]), jnp.float32)],
+                axis=0)
+        chan, pilot, rdsch, carr = _ifbank_call(
+            xp, self._acp, self._are, self._aca, out_tile=self.out_tile,
+            ext=self.ext, interpret=interpret,
+            compute_dtype=self.compute_dtype)
+        if c_pad != c:
+            chan, pilot = chan[:c], pilot[:c]
+            rdsch, carr = rdsch[:c], carr[:c]
+        new_tail = fm[..., n - CTX:]
+        if squeeze:
+            chan, pilot = chan[0], pilot[0]
+            rdsch, carr, new_tail = rdsch[0], carr[0], new_tail[0]
+        return chan, pilot, rdsch, carr, new_tail

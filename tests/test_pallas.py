@@ -177,3 +177,28 @@ def test_fused_frontend_bf16_demod_interpret():
             np.asarray(power),
             np.asarray(jnp.sum(i_e * i_e + q_e * q_e, axis=-1)),
             rtol=2e-2)
+
+
+def test_fused_ifbank_matches_xla_chain():
+    """FusedIFBank (all post-demod IF FIRs as banded MXU matmuls) is
+    reduction-order-identical to the MultiFIR + square + carrier-BPF XLA
+    path, including two-block tail carry."""
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+
+    cfg = MODES[0]
+    sec = 0.3
+    n = int(sec * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=sec,
+                                left=tx.tone(cfg.rf_fs, 1000.0, n),
+                                right=tx.tone(cfg.rf_fs, 2500.0, n))
+    base = Receiver(0, stereo=True, rds=True, pll_impl="ff")
+    fused = Receiver(0, stereo=True, rds=True, pll_impl="ff",
+                     fused_ifbank=True)
+    bs = fused.block_size_u8()
+    ob, _ = base.run(cap[: 4 * bs], blocks_per_step=1)
+    of, _ = fused.run(cap[: 4 * bs], blocks_per_step=1)
+    for k in ("left", "right", "rds_soft"):
+        np.testing.assert_allclose(np.asarray(of[k]), np.asarray(ob[k]),
+                                   atol=1e-5)

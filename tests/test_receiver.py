@@ -257,17 +257,19 @@ def test_fused_frontend_sub_tiles_equivalent():
                                np.asarray(o2["mono"]), atol=1e-5)
 
 
-def test_fft_filter_engine_matches_direct():
+@pytest.mark.parametrize("mode", [0, 2])
+def test_fft_filter_engine_matches_direct(mode):
     """The FFT overlap-save engine is interchangeable with the direct
-    polyphase engine across the whole receiver (mono + stereo, mode 0)."""
+    polyphase engine across the whole receiver — including mode 2's
+    rational 147/800 audio stage (U>1 spectral replication)."""
     from sdr_tpu.utils.compare import stream_snr_db
-    cfg = MODES[0]
+    cfg = MODES[mode]
     n = int(0.15 * cfg.rf_fs)
     cap = tx.synthesize_capture(cfg, seconds=0.15,
                                 left=tx.tone(cfg.rf_fs, 1000.0, n),
                                 right=tx.tone(cfg.rf_fs, 2500.0, n))
-    od, _ = Receiver(0, stereo=True).run(cap)
-    of, _ = Receiver(0, stereo=True, filter_engine="fft").run(cap)
+    od, _ = Receiver(mode, stereo=True).run(cap)
+    of, _ = Receiver(mode, stereo=True, filter_engine="fft").run(cap)
     for key in ("mono", "left", "right"):
         snr = stream_snr_db(np.asarray(of[key]), np.asarray(od[key]),
                             skip=100)

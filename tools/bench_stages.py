@@ -22,6 +22,11 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+REPEATS = 16  # outer re-scans per timed call: one D2H sync amortizes over
+# REPEATS*S steps (the tunnel's ~27 ms fetch floor would otherwise dominate
+# every sub-ms stage — the round-2 table's flaw)
+
+
 def _timed(fn, *args, reps: int = 3) -> float:
     import jax
     total = float(fn(*args))   # compile + warm
@@ -29,7 +34,7 @@ def _timed(fn, *args, reps: int = 3) -> float:
     t0 = time.perf_counter()
     for _ in range(reps):
         total = float(fn(*args))
-    return (time.perf_counter() - t0) / reps
+    return (time.perf_counter() - t0) / reps / REPEATS
 
 
 def main() -> int:
@@ -71,8 +76,13 @@ def main() -> int:
             def body(st, blk):
                 st2, out = step_fn(st, blk)
                 return st2, jnp.sum(out)
-            st, sums = jax.lax.scan(body, state, blocks)
-            return jnp.sum(sums)
+            def outer(carry, _):
+                st, acc = carry
+                st, sums = jax.lax.scan(body, st, blocks)
+                return (st, acc + jnp.sum(sums)), None
+            (st, acc), _ = jax.lax.scan(outer, (state, jnp.float32(0.0)),
+                                        None, length=REPEATS)
+            return acc
         dt = _timed(run, make_state(), if_blocks) / S
         results.append((name, dt, n_iq * C / dt / 1e9))
         print(f"  {name:28s} {dt*1e3:8.3f} ms/step "
@@ -84,8 +94,13 @@ def main() -> int:
         def body(tail, blk):
             i_ds, q_ds, tail = rx._fused_fe(blk, tail)
             return tail, jnp.sum(i_ds) + jnp.sum(q_ds)
-        tail, sums = jax.lax.scan(body, tail, blocks)
-        return jnp.sum(sums)
+        def outer(carry, _):
+            t, acc = carry
+            t, sums = jax.lax.scan(body, t, blocks)
+            return (t, acc + jnp.sum(sums)), None
+        (tail, acc), _ = jax.lax.scan(outer, (tail, jnp.float32(0.0)),
+                                      None, length=REPEATS)
+        return acc
     dt = _timed(run_fe, rx._fused_fe.init_state((C,)), u8_blocks) / S
     results.append(("frontend_bf16", dt, n_iq * C / dt / 1e9))
     print(f"  {'frontend_bf16':28s} {dt*1e3:8.3f} ms/step "
@@ -111,6 +126,16 @@ def main() -> int:
                        t, outs[0] + outs[1] + outs[2]))(
                        *rx.if_bpf3(blk, st)))
 
+    # ---- fused 3-filter IF BPF in bf16 (lowering probe: if bf16 == f32 the
+    # conv is not MXU-bound)
+    rx_b = Receiver(0, stereo=True, rds=True, fused_frontend="bf16",
+                    pll_impl="ff", conv_dtype="bf16")
+    bench_if_stage("if_bpf3_multifir_bf16",
+                   lambda: rx_b.if_bpf3.init_state((C,)),
+                   lambda st, blk: (lambda outs, t: (
+                       t, outs[0] + outs[1] + outs[2]))(
+                       *rx_b.if_bpf3(blk, st)))
+
     # ---- PLL (Pallas chunked-32): one instance vs the joint dual launch
     from sdr_tpu.ops.pll import pll_init
     from sdr_tpu.ops.pallas.pll_kernel import (pll_pallas_chunked,
@@ -120,6 +145,13 @@ def main() -> int:
                    lambda st, blk: (lambda nco, st2: (st2, nco))(
                        *pll_pallas_chunked(blk, st, freq=19e3, fs=240e3,
                                            nco_scale=2.0, chunk=32)))
+
+    from sdr_tpu.ops.pll import pll_feedforward
+    bench_if_stage("pll_ff_x1",
+                   lambda: pll_init((C,)),
+                   lambda st, blk: (lambda nco, st2: (st2, nco))(
+                       *pll_feedforward(blk, st, freq=19e3, fs=240e3,
+                                        nco_scale=2.0)))
 
     def joint_pll(st, blk):
         (n1, n2), (s1, s2) = pll_pallas_chunked_multi(
@@ -167,6 +199,9 @@ def main() -> int:
     # ---- full chains for cross-check
     for label, r2 in [
             ("FULL mono (bf16 fe)", Receiver(0, fused_frontend="bf16")),
+            ("FULL stereo+rds ff", Receiver(0, stereo=True, rds=True,
+                                            fused_frontend="bf16",
+                                            pll_impl="ff")),
             ("FULL stereo+rds fast", rx)]:
         bs2 = r2.block_size_u8(args.bps)
         blocks2 = (u8_blocks[..., :bs2] if bs2 <= bs else jax.device_put(
@@ -177,8 +212,13 @@ def main() -> int:
             def body(st, blk):
                 st2, out = r2.step(st, blk)
                 return st2, sum(jnp.sum(v) for v in out.values())
-            st, sums = jax.lax.scan(body, state, blocks)
-            return jnp.sum(sums)
+            def outer(carry, _):
+                st, acc = carry
+                st, sums = jax.lax.scan(body, st, blocks)
+                return (st, acc + jnp.sum(sums)), None
+            (st, acc), _ = jax.lax.scan(outer, (state, jnp.float32(0.0)),
+                                        None, length=REPEATS)
+            return acc
         dt = _timed(run_full, r2.init_state((C,)), blocks2) / S
         gs = (bs2 // 2) * C / dt / 1e9
         results.append((label, dt, gs))
