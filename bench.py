@@ -129,10 +129,12 @@ def main() -> int:
         msps_stc = _bench_scan(Receiver(0, stereo=True, rds=True,
                                         fused_frontend="bf16",
                                         pll_impl="ff",
-                                        conv_dtype="bf16"),
+                                        conv_dtype="bf16",
+                                        fused_ifbank="bf16"),
                                128, 25, 8)
-        print(f"stereo+RDS 128ch (fused bf16, feedforward carrier, bf16 "
-              f"convs): {msps_stc:5.1f} IQ MS/s/chip", file=sys.stderr)
+        print(f"stereo+RDS 128ch (fused bf16, feedforward carrier, fused "
+              f"IF-bank, bf16 convs): {msps_stc:5.1f} IQ MS/s/chip",
+              file=sys.stderr)
     if time_left():
         h2d = _bench_h2d()
         print(f"H2D bandwidth (dev-box tunnel): {h2d:.1f} MB/s",

@@ -57,8 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume the streaming state from a checkpoint")
     p.add_argument("--fast", action="store_true",
                    help="fast engines: fused bf16 Pallas front-end + "
-                        "chunk-vectorized PLL (~3x throughput; ~53 dB "
-                        "channelizer SNR, transparent for FM audio)")
+                        "feedforward carrier recovery + bf16 conv profile "
+                        "(~53 dB channelizer / ~45 dB per-conv SNR, "
+                        "transparent for FM audio)")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory "
                         "(per-stage named scopes included)")
@@ -115,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # feedforward carrier recovery is pure XLA — fastest on TPU and CPU
     # alike (no backend-dependent dispatch needed)
-    fast = (dict(fused_frontend="bf16", pll_impl="ff")
+    fast = (dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16")
             if args.fast else {})
     want_if = args.psd_dump is not None or args.psd_anim is not None
     rx = Receiver(args.mode, stereo=stereo, rds=rds, emit_if=want_if, **fast)
@@ -344,7 +345,7 @@ def _run_stations(args, cfg, stereo, rds):
     print(f"Decoding {k} stations x {n//2} IQ samples (streaming, batched)",
           file=_sys.stderr)
 
-    fast = (dict(fused_frontend="bf16", pll_impl="ff")
+    fast = (dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16")
             if args.fast else {})
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)
     bs = rx.block_size_u8(args.blocks_per_step)

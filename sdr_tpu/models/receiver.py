@@ -449,17 +449,26 @@ class Receiver:
             # cross-checks (reference model/fmMonoBlock.py:277-280)
             outputs["fm_demod"] = fm_demod
 
-        # Mono path (reference src/project.cpp:146)
-        with jax.named_scope("mono_path"):
-            mono_audio, audio_tail = self.audio_resampler(fm_demod,
-                                                          state.mono.audio_tail)
+        # Mono path (reference src/project.cpp:146).  In stereo mode with
+        # the direct engine the mono resample is deferred and BATCHED with
+        # the stereo (L-R) resample below — both run the same audio filter
+        # bank, so stacking them on the conv batch axis halves the conv
+        # launches (bit-identical: conv rows are independent).
+        defer_mono = (self.stereo and not self.compat_shared_audio_state
+                      and isinstance(self.audio_resampler,
+                                     PolyphaseResampler))
+        mono_audio = audio_tail = None
+        if not defer_mono:
+            with jax.named_scope("mono_path"):
+                mono_audio, audio_tail = self.audio_resampler(
+                    fm_demod, state.mono.audio_tail)
         deemph_state = state.mono.deemph
         if self.deemph_alpha is not None and not self.stereo:
             from sdr_tpu.ops.iir import first_order_iir
             mono_out, deemph_state = first_order_iir(
                 mono_audio, deemph_state, alpha=self.deemph_alpha)
             outputs["mono"] = mono_out
-        else:
+        elif not defer_mono:
             outputs["mono"] = mono_audio
 
         # --- IF band-pass extraction (fused into one conv where possible)
@@ -517,6 +526,19 @@ class Receiver:
                              0.5, 0.0, float(self.rds_pll_bandwidth))),
                     chunk=self.pll_chunk,
                     interpret=jax.default_backend() != "tpu")
+        elif (self.stereo and self.rds and self.pll_impl == "ff"
+              and not self.compat_pll):
+            # both carriers through ONE fused feedforward program (stacked
+            # engine axis; bit-identical to two calls under jit)
+            with jax.named_scope("carrier_ff_pair"):
+                from sdr_tpu.ops.pll import pll_feedforward_multi
+                (nco_s, nco_r), (pll_s, pll_r) = pll_feedforward_multi(
+                    (pilot, rds_carrier_in), (st.pll, rs.pll),
+                    params=((float(cfg.pilot_freq), float(cfg.if_fs), 2.0,
+                             float(self.stereo_phase_adjust)),
+                            (float(cfg.rds_carrier_freq), float(cfg.if_fs),
+                             0.5, 0.0)),
+                    window=self.pll_window)
         else:
             if self.stereo:
                 nco_s, pll_s = self._pll(pilot, st.pll, freq=cfg.pilot_freq,
@@ -531,16 +553,26 @@ class Receiver:
 
         stereo_state = state.stereo
         if self.stereo:
-            # delayed mono against BPF group delay (src/project.cpp:152-159)
-            mono_shift, mono_delay = delay_line(mono_audio, st.mono_delay)
             mixed = mixer(channel, nco_s)                  # project.cpp:169
             if self.compat_shared_audio_state:
                 # reference defect: stereo resample continues the mono tail
                 stereo_audio, audio_tail = self.audio_resampler(mixed, audio_tail)
                 stereo_audio_tail = st.stereo_audio_tail
+            elif defer_mono:
+                # one conv for both IF->audio resamples (same filter bank)
+                with jax.named_scope("audio_resample_pair"):
+                    pair, pair_tails = self.audio_resampler(
+                        jnp.stack([fm_demod, mixed]),
+                        jnp.stack([state.mono.audio_tail,
+                                   st.stereo_audio_tail]))
+                mono_audio, stereo_audio = pair[0], pair[1]
+                audio_tail, stereo_audio_tail = pair_tails[0], pair_tails[1]
+                outputs["mono"] = mono_audio
             else:
                 stereo_audio, stereo_audio_tail = self.stereo_audio_resampler(
                     mixed, st.stereo_audio_tail)
+            # delayed mono against BPF group delay (src/project.cpp:152-159)
+            mono_shift, mono_delay = delay_line(mono_audio, st.mono_delay)
             left, right = lr_matrix(mono_shift, stereo_audio)  # project.cpp:175
             deemph_l, deemph_r = st.deemph_l, st.deemph_r
             if self.deemph_alpha is not None:

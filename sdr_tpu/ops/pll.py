@@ -177,54 +177,95 @@ def pll_feedforward(x: jax.Array, state: PLLState, *, freq: float, fs: float,
     """
     n = x.shape[-1]
     window = _largest_divisor_at_most(n, window)
-    nc = n // window
-    wmod_f = _wrap_modulus(nco_scale)
-    wmod = jnp.float32(wmod_f)
-    scale = jnp.float32(nco_scale)
-    adj = jnp.float32(phase_adjust)
-    two_pi = jnp.float32(2.0 * np.pi)
+    tabs = _ff_tables(n, freq, fs, nco_scale, phase_adjust)
 
-    # trace-time f64-exact carrier ramp tables (n static under jit)
+    fn = partial(_ff_run_1d, n=n, window=window)
+    for _ in range(x.ndim - 1):
+        fn = jax.vmap(fn, in_axes=(0, 0, None))
+    return fn(x, state, tabs)
+
+
+def _ff_tables(n: int, freq: float, fs: float, nco_scale: float,
+               phase_adjust: float):
+    """Trace-time f64-exact carrier ramp tables (n static under jit)."""
+    wmod_f = _wrap_modulus(nco_scale)
     w0_f64 = 2.0 * np.pi * (float(freq) / float(fs))
     ramp = (w0_f64 * np.arange(n, dtype=np.float64)) % wmod_f
-    cos_ramp = jnp.asarray(np.cos(ramp), jnp.float32)
-    sin_ramp = jnp.asarray(np.sin(ramp), jnp.float32)
-    ramp_mod = jnp.asarray(ramp, jnp.float32)
-    r_adv = jnp.float32((w0_f64 * n) % wmod_f)
+    return dict(
+        cos_ramp=jnp.asarray(np.cos(ramp), jnp.float32),
+        sin_ramp=jnp.asarray(np.sin(ramp), jnp.float32),
+        ramp_mod=jnp.asarray(ramp, jnp.float32),
+        r_adv=jnp.float32((w0_f64 * n) % wmod_f),
+        wmod=jnp.float32(wmod_f),
+        scale=jnp.float32(nco_scale),
+        adj=jnp.float32(phase_adjust))
+
+
+def _ff_run_1d(x1, st, tabs, *, n: int, window: int):
+    """Feedforward engine body on one 1-D block (see pll_feedforward)."""
+    nc = n // window
+    two_pi = jnp.float32(2.0 * np.pi)
     # window-center offsets for the synthesis interpolation
     rel = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
+    r0 = st.trig_offset
+    # MIX: z = x * e^{-j(ramp + r0)}
+    cr0, sr0 = jnp.cos(r0), jnp.sin(r0)
+    mc = tabs["cos_ramp"] * cr0 - tabs["sin_ramp"] * sr0
+    ms = tabs["sin_ramp"] * cr0 + tabs["cos_ramp"] * sr0
+    zr = (x1 * mc).reshape(nc, window).mean(axis=-1)
+    zi = (-x1 * ms).reshape(nc, window).mean(axis=-1)
+    # ESTIMATE + UNWRAP
+    phi_hat = jnp.arctan2(zi, zr)                        # (nc,)
+    prev = jnp.concatenate([st.phase_acc[None], phi_hat[:-1]])
+    d = phi_hat - prev
+    d = d - two_pi * jnp.round(d / two_pi)               # (-pi, pi]
+    phi_c = st.phase_acc + jnp.cumsum(d)                 # continuous
+    # SYNTHESIZE: phi(i) = phi_c[c] + slope_c * (i - center_c)
+    slope = d / jnp.float32(window)
+    phi_full = (phi_c[:, None] + slope[:, None] * rel[None, :]
+                ).reshape(n)
+    theta = tabs["ramp_mod"] + r0 + phi_full
+    nco = jnp.cos(theta * tabs["scale"] + tabs["adj"])
+    phi_last = jnp.mod(phi_c[-1], tabs["wmod"])
+    new = PLLState(integrator=slope[-1], phase_acc=phi_last,
+                   feedback_i=jnp.cos(phi_last),
+                   feedback_q=jnp.sin(phi_last),
+                   trig_offset=jnp.mod(r0 + tabs["r_adv"], tabs["wmod"]))
+    return nco, new
 
-    def run_1d(x1, st):
-        r0 = st.trig_offset
-        # MIX: z = x * e^{-j(ramp + r0)}
-        cr0, sr0 = jnp.cos(r0), jnp.sin(r0)
-        mc = cos_ramp * cr0 - sin_ramp * sr0
-        ms = sin_ramp * cr0 + cos_ramp * sr0
-        zr = (x1 * mc).reshape(nc, window).mean(axis=-1)
-        zi = (-x1 * ms).reshape(nc, window).mean(axis=-1)
-        # ESTIMATE + UNWRAP
-        phi_hat = jnp.arctan2(zi, zr)                        # (nc,)
-        prev = jnp.concatenate([st.phase_acc[None], phi_hat[:-1]])
-        d = phi_hat - prev
-        d = d - two_pi * jnp.round(d / two_pi)               # (-pi, pi]
-        phi_c = st.phase_acc + jnp.cumsum(d)                 # continuous
-        # SYNTHESIZE: phi(i) = phi_c[c] + slope_c * (i - center_c)
-        slope = d / jnp.float32(window)
-        phi_full = (phi_c[:, None] + slope[:, None] * rel[None, :]
-                    ).reshape(n)
-        theta = ramp_mod + r0 + phi_full
-        nco = jnp.cos(theta * scale + adj)
-        phi_last = jnp.mod(phi_c[-1], wmod)
-        new = PLLState(integrator=slope[-1], phase_acc=phi_last,
-                       feedback_i=jnp.cos(phi_last),
-                       feedback_q=jnp.sin(phi_last),
-                       trig_offset=jnp.mod(r0 + r_adv, wmod))
-        return nco, new
 
-    fn = run_1d
-    for _ in range(x.ndim - 1):
-        fn = jax.vmap(fn)
-    return fn(x, state)
+def pll_feedforward_multi(xs, states, *, params, window: int = 256):
+    """N feedforward carrier engines in ONE fused program.
+
+    The stereo pilot (19 kHz, scale 2) and RDS carrier (114 kHz, scale
+    0.5) recoveries are independent engines over same-shape inputs; ridden
+    separately each pays its own launch/fusion boundary.  Stacking the
+    inputs on a leading engine axis (with per-engine ramp tables stacked
+    alongside) runs both as one vmapped program — numerically identical to
+    two `pll_feedforward` calls (vmap rows are independent).
+
+    Args: xs/states/params are same-length sequences; params entries are
+    (freq, fs, nco_scale, phase_adjust).  Returns (ncos, new_states) as
+    tuples in the input order.
+    """
+    assert len(xs) == len(states) == len(params)
+    n = xs[0].shape[-1]
+    assert all(x.shape == xs[0].shape for x in xs), "engine inputs must match"
+    window = _largest_divisor_at_most(n, window)
+    x = jnp.stack(list(xs))                              # (E, ..., n)
+    st = jax.tree.map(lambda *a: jnp.stack(a), *states)  # (E, ...)
+    tabs = jax.tree.map(
+        lambda *a: jnp.stack(a),
+        *[_ff_tables(n, f, fs, sc, adj) for f, fs, sc, adj in params])
+
+    fn = partial(_ff_run_1d, n=n, window=window)
+    for _ in range(x.ndim - 2):
+        fn = jax.vmap(fn, in_axes=(0, 0, None))          # channel dims
+    fn = jax.vmap(fn)                                    # engine axis
+    ncos, new = fn(x, st, tabs)
+    e = len(xs)
+    return (tuple(ncos[i] for i in range(e)),
+            tuple(jax.tree.map(lambda a, i=i: a[i], new) for i in range(e)))
 
 
 def pll_reference(x, freq, fs, nco_scale, phase_adjust, norm_bandwidth, state):

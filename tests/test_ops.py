@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 import scipy.signal as sps
 
+import jax
 import jax.numpy as jnp
 
 from sdr_tpu.ops import firdes
@@ -350,3 +351,27 @@ class TestPllFeedforward:
                                  freq=19e3, fs=fs, nco_scale=2.0)
         np.testing.assert_allclose(np.asarray(out[1]), np.asarray(one),
                                    atol=1e-5)
+
+    def test_multi_matches_two_single_calls(self):
+        """pll_feedforward_multi (the fused dual-carrier program the
+        stereo+RDS receiver uses) is bit-identical to two single-engine
+        calls when both run under the same jit."""
+        from functools import partial
+        from sdr_tpu.ops.pll import pll_feedforward, pll_feedforward_multi
+        rng = np.random.default_rng(7)
+        x1 = jnp.asarray(rng.standard_normal((3, 2560)), jnp.float32)
+        x2 = jnp.asarray(rng.standard_normal((3, 2560)), jnp.float32)
+        p1 = (19e3, 240e3, 2.0, 0.1)
+        p2 = (114e3, 240e3, 0.5, 0.0)
+        n1, s1 = pll_feedforward(x1, pll_init((3,)), freq=p1[0], fs=p1[1],
+                                 nco_scale=p1[2], phase_adjust=p1[3])
+        n2, s2 = pll_feedforward(x2, pll_init((3,)), freq=p2[0], fs=p2[1],
+                                 nco_scale=p2[2], phase_adjust=p2[3])
+        fused = jax.jit(partial(pll_feedforward_multi, params=(p1, p2)))
+        (m1, m2), (t1, t2) = fused((x1, x2),
+                                   (pll_init((3,)), pll_init((3,))))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(n1), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(n2), atol=2e-6)
+        for a, b in zip(jax.tree.leaves((s1, s2)), jax.tree.leaves((t1, t2))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)

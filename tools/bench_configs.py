@@ -1,0 +1,86 @@
+"""Quick full-chain config shootout on real TPU (stereo+RDS engines).
+
+Times Receiver.step at the production shape for a list of engine configs
+with the same amortized-sync methodology as bench.py; prints GS/s per
+config to stderr.  Used to pick bench.py's headline stereo engine set.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPEATS = 16
+
+
+def bench(rx, n_ch=128, bps=50, n_steps=8, reps=3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    bs = rx.block_size_u8(bps)
+    rng = np.random.default_rng(0)
+    blocks = jax.device_put(rng.integers(
+        0, 256, size=(n_steps, n_ch, bs), dtype=np.uint8))
+    state0 = rx.init_state((n_ch,))
+
+    @jax.jit
+    def run_all(state, blocks):
+        def body(st, blk):
+            st2, out = rx.step(st, blk)
+            return st2, sum(jnp.sum(v) for v in out.values())
+
+        def outer(carry, _):
+            st, acc = carry
+            st, sums = jax.lax.scan(body, st, blocks)
+            return (st, acc + jnp.sum(sums)), None
+
+        (st, acc), _ = jax.lax.scan(outer, (state, jnp.float32(0.0)),
+                                    None, length=REPEATS)
+        return acc
+
+    total = float(run_all(state0, blocks))
+    assert np.isfinite(total), "non-finite chain output"
+    dts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        total = float(run_all(state0, blocks))
+        dts.append(time.perf_counter() - t0)
+    work = n_ch * (bs // 2) * n_steps * REPEATS / 1e9
+    return max(work / dt for dt in dts)
+
+
+def main() -> int:
+    import jax
+    from sdr_tpu.models.receiver import Receiver
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+
+    configs = [
+        ("ff+bf16conv (bench.py today)",
+         dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16")),
+        ("ff+bf16conv+ifbank-bf16",
+         dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+              fused_ifbank="bf16")),
+        ("ff+bf16conv+ifbank-f32",
+         dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+              fused_ifbank=True)),
+        ("ff only (f32 convs)",
+         dict(fused_frontend="bf16", pll_impl="ff")),
+    ]
+    for name, kw in configs:
+        try:
+            gs = bench(Receiver(0, stereo=True, rds=True, **kw))
+            print(f"  {name:32s} {gs:6.2f} GS/s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — shootout must survive a bad cfg
+            print(f"  {name:32s} FAILED: {e!r}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
