@@ -19,14 +19,16 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench(engine: str, k: int, n_wide: int, n_steps: int, reps: int = 3):
+def bench(engine: str, k: int, n_wide: int, n_steps: int, reps: int = 3,
+          dtype: str = "f32"):
     import jax
     import jax.numpy as jnp
     from sdr_tpu.ops.channelizer import WidebandChannelizer
 
     fs_wide, fs_out = 9.6e6, 2.4e6
     freqs = list(np.linspace(-4.0e6, 4.0e6, k))
-    chan = WidebandChannelizer(fs_wide, fs_out, freqs, engine=engine)
+    chan = WidebandChannelizer(fs_wide, fs_out, freqs, engine=engine,
+                               compute_dtype=dtype)
     rng = np.random.default_rng(0)
     iw = jax.device_put(rng.standard_normal(
         (n_steps, n_wide)).astype(np.float32))
@@ -56,6 +58,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stations", type=int, nargs="+", default=[16, 64])
     ap.add_argument("--engines", nargs="+", default=["mfb", "mix"])
+    ap.add_argument("--dtypes", nargs="+", default=["f32"])
     ap.add_argument("--n-wide", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=8)
     args = ap.parse_args()
@@ -63,10 +66,11 @@ def main() -> int:
     print(f"device: {dev.device_kind} ({dev.platform})")
     for k in args.stations:
         for eng in args.engines:
-            msps = bench(eng, k, args.n_wide, args.steps)
-            rt = msps / 9.6  # x realtime at the 9.6 MS/s capture rate
-            print(f"{eng:4s} K={k:3d}: {msps:9.1f} wideband MS/s "
-                  f"({rt:7.1f}x realtime)", flush=True)
+            for dt in args.dtypes:
+                msps = bench(eng, k, args.n_wide, args.steps, dtype=dt)
+                rt = msps / 9.6  # x realtime at the 9.6 MS/s capture rate
+                print(f"{eng:4s}/{dt:4s} K={k:3d}: {msps:9.1f} wideband "
+                      f"MS/s ({rt:7.1f}x realtime)", flush=True)
     return 0
 
 
