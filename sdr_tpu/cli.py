@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--psd-anim-every", type=int, default=10,
                    help="emit one PSD frame per N reference blocks "
                         "(default 10)")
+    p.add_argument("--trace-iq", default=None, metavar="BASE",
+                   help="dump time-domain I/Q .dat traces of the FIRST "
+                        "block, pre- and post-channelizer (BASE_i_time, "
+                        "BASE_q_time, BASE_i_filt_time, BASE_q_filt_time; "
+                        "render with examples/iq.gnuplot) — the reference's "
+                        "data/iq.gnuplot / iq_filt.gnuplot stage-trace "
+                        "workflow (src/logfunc.cpp:23-43)")
     p.add_argument("--stats", action="store_true",
                    help="print throughput stats to stderr")
     p.add_argument("--save-state", default=None,
@@ -147,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.profile:
         jax.profiler.start_trace(args.profile)
     for raw in _block_source(fin, block_size):
+        if args.trace_iq is not None and n_in == 0:
+            _trace_iq(args.trace_iq, raw, rx)
         if pending is not None:
             _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks,
                    psd_anim)
@@ -402,6 +411,40 @@ def _run_stations(args, cfg, stereo, rds):
                    if info.pi is not None else "no sync")
             print(f"  station {i} RDS final: {msg}", file=_sys.stderr)
     return 0
+
+
+def _trace_iq(base: str, raw: np.ndarray, rx) -> None:
+    """Write 4 time-domain .dat traces of one u8 block: decoded I/Q before
+    the channelizer and decimated I/Q after it (reference stage-trace
+    workflow: logVector src/logfunc.cpp:23-43 feeding data/iq.gnuplot +
+    data/iq_filt.gnuplot with i/q_block_time.dat, i/q_filt_time.dat).
+
+    The filtered trace is computed with the exact f32 resampler from a
+    zero tail (first-block semantics) regardless of the engine configured
+    for the stream — a debug tap, not part of the audio path.
+    """
+    from sdr_tpu.io.logger import log_vector
+
+    n_show = 512  # samples per trace, like the reference's 512-pt window
+    i_raw = (raw[0::2].astype(np.float32) - 128.0) / 128.0
+    q_raw = (raw[1::2].astype(np.float32) - 128.0) / 128.0
+    idx = np.arange(min(n_show, len(i_raw)))
+    log_vector(f"{base}_i_time", idx, i_raw[: len(idx)])
+    log_vector(f"{base}_q_time", idx, q_raw[: len(idx)])
+
+    from sdr_tpu.ops.resample import PolyphaseResampler
+    from sdr_tpu.ops import firdes
+
+    cfg = rx.cfg
+    rf = PolyphaseResampler(
+        firdes.lowpass(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps, 1), 1, cfg.rf_decim)
+    i_ds, _ = rf(np.asarray(i_raw), np.asarray(rf.init_state()))
+    q_ds, _ = rf(np.asarray(q_raw), np.asarray(rf.init_state()))
+    idx_f = np.arange(min(n_show, i_ds.shape[-1]))
+    log_vector(f"{base}_i_filt_time", idx_f, np.asarray(i_ds)[: len(idx_f)])
+    log_vector(f"{base}_q_filt_time", idx_f, np.asarray(q_ds)[: len(idx_f)])
+    print(f"Wrote {base}_{{i,q}}_time.dat + {base}_{{i,q}}_filt_time.dat "
+          "(render with examples/iq.gnuplot)", file=sys.stderr)
 
 
 def _block_source(fin, block_size):

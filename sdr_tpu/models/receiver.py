@@ -529,7 +529,8 @@ class Receiver:
         elif (self.stereo and self.rds and self.pll_impl == "ff"
               and not self.compat_pll):
             # both carriers through ONE fused feedforward program (stacked
-            # engine axis; bit-identical to two calls under jit)
+            # engine axis; numerically equivalent to two calls within f32
+            # fusion tolerance — see ops/pll.py pll_feedforward_multi)
             with jax.named_scope("carrier_ff_pair"):
                 from sdr_tpu.ops.pll import pll_feedforward_multi
                 (nco_s, nco_r), (pll_s, pll_r) = pll_feedforward_multi(

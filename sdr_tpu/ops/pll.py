@@ -241,8 +241,10 @@ def pll_feedforward_multi(xs, states, *, params, window: int = 256):
     0.5) recoveries are independent engines over same-shape inputs; ridden
     separately each pays its own launch/fusion boundary.  Stacking the
     inputs on a leading engine axis (with per-engine ramp tables stacked
-    alongside) runs both as one vmapped program — numerically identical to
-    two `pll_feedforward` calls (vmap rows are independent).
+    alongside) runs both as one vmapped program — numerically equivalent
+    to two `pll_feedforward` calls within float32 fusion tolerance (the
+    vmap rows are independent, but stacking changes XLA's fusion and hence
+    rounding; the regression gate holds outputs to ~2e-6).
 
     Args: xs/states/params are same-length sequences; params entries are
     (freq, fs, nco_scale, phase_adjust).  Returns (ncos, new_states) as

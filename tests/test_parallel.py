@@ -177,3 +177,53 @@ def test_timeshard_full_stereo_rds():
     # every serially-decoded group also decodes from the sharded stream
     # (boundary transients may cost at most one group)
     assert info_p.groups_seen >= info_s.groups_seen - 1
+
+
+def test_polarity_stitch_silent_seam_warns():
+    """A seam whose warm-up overlap carries no RDS energy must WARN and keep
+    the running sign instead of trusting a noise-level correlation (VERDICT
+    r3 weak item 6: the unthresholded dot product silently picked an
+    arbitrary sign for squelched/faded chunks)."""
+    import warnings
+
+    from sdr_tpu.parallel.timeshard import polarity_stitch
+
+    rng = np.random.default_rng(7)
+    warm, chunk = 64, 256
+    t = np.arange(warm + chunk)
+    wave = np.sin(2 * np.pi * t / 16.0)
+    # device 0 and 2 carry signal; device 1's overlap region is silent
+    d0 = wave.copy()
+    d1 = wave.copy()
+    d1[warm - warm // 2:warm] = 1e-9 * rng.standard_normal(warm // 2)
+    d2 = -wave.copy()  # genuine 180-degree flip vs its neighbor
+    soft_all = np.stack([d0, d1, d2])
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = polarity_stitch(soft_all, warm, confidence=0.5)
+    msgs = [str(w.message) for w in caught]
+    assert any("seam 0->1" in m for m in msgs), msgs
+    # the silent seam keeps the running (+) sign; the confident seam 1->2
+    # still flips device 2 back into alignment
+    assert out.shape == (3 * chunk,)
+    np.testing.assert_allclose(out[chunk:2 * chunk], d1[warm:], atol=1e-12)
+    np.testing.assert_allclose(out[2 * chunk:], wave[warm:], atol=1e-12)
+
+
+def test_polarity_stitch_confident_flip_no_warning():
+    """Confident seams resolve signs exactly as before — no warnings."""
+    import warnings
+
+    from sdr_tpu.parallel.timeshard import polarity_stitch
+
+    warm, chunk = 64, 256
+    t = np.arange(warm + chunk)
+    wave = np.sin(2 * np.pi * t / 16.0)
+    soft_all = np.stack([wave, -wave, wave])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = polarity_stitch(soft_all, warm, confidence=0.5)
+    assert not caught, [str(w.message) for w in caught]
+    expect = np.concatenate([wave[warm:]] * 3)
+    np.testing.assert_allclose(out, expect, atol=1e-12)

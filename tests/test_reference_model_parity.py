@@ -381,3 +381,51 @@ def test_fm_demod_bins_rds_front(demod_bins):
     # compare against the 100-113 kHz shoulder (same nonlinearity output)
     shoulder = spec[(freqs > 100e3) & (freqs < 113e3)].max()
     assert band > 3.0 * shoulder
+
+
+# ------------------------------------------------------------------ PSD (C10)
+def test_estimate_psd_matches_reference_model_code(refmod):
+    """ops/fourier.estimate_psd == the reference's own Bartlett estimator
+    (model/fmSupportLib.py:86-161), run live, to float tolerance — the
+    exactness gate for C10 (VERDICT r3 weak item 7: previously only the
+    peak location was checked)."""
+    sys.dont_write_bytecode = True
+    import fmSupportLib
+
+    from sdr_tpu.ops.fourier import estimate_psd
+
+    rng = np.random.default_rng(42)
+    fs = 240e3
+    t = np.arange(4096) / fs
+    x = (np.sin(2 * np.pi * 19e3 * t) + 0.3 * np.sin(2 * np.pi * 57e3 * t)
+         + 0.05 * rng.standard_normal(t.size)).astype(np.float64)
+    for nfft in (512, 256):
+        f_ref, p_ref = fmSupportLib.estimatePSD(x, NFFT=nfft, Fs=fs)
+        f_ours, p_ours = estimate_psd(x.astype(np.float32), nfft=nfft, fs=fs)
+        np.testing.assert_allclose(np.asarray(f_ours), f_ref, rtol=1e-12)
+        # f32 FFT vs f64 FFT on dB-scale bins: agree to ~1e-3 dB
+        np.testing.assert_allclose(np.asarray(p_ours), p_ref, atol=5e-3)
+
+
+def test_psd_complex_matches_numpy_oracle():
+    """ops/spectrum.psd_complex windowing/scaling pinned to a direct f64
+    NumPy oracle of the same definition (the reference has no two-sided
+    estimator; this closes the exactness gap the same way)."""
+    from sdr_tpu.ops.spectrum import psd_complex
+
+    rng = np.random.default_rng(3)
+    fs = 2.4e6
+    n, nfft = 8192, 1024
+    t = np.arange(n) / fs
+    i_w = np.cos(2 * np.pi * 250e3 * t) + 0.1 * rng.standard_normal(n)
+    q_w = np.sin(2 * np.pi * 250e3 * t) + 0.1 * rng.standard_normal(n)
+
+    x = i_w + 1j * q_w
+    hann = np.sin(np.arange(nfft) * np.pi / nfft) ** 2
+    segs = x[: (n // nfft) * nfft].reshape(-1, nfft) * hann
+    power = np.mean(np.abs(np.fft.fft(segs, axis=-1)) ** 2, axis=0) / nfft
+    expect = 10.0 * np.log10(np.fft.fftshift(power) + 1e-20)
+
+    ours = np.asarray(psd_complex(i_w.astype(np.float32),
+                                  q_w.astype(np.float32), nfft=nfft))
+    np.testing.assert_allclose(ours, expect, atol=5e-3)

@@ -50,8 +50,12 @@ def bench(rx, n_ch=128, bps=50, n_steps=8, reps=3) -> float:
         t0 = time.perf_counter()
         total = float(run_all(state0, blocks))
         dts.append(time.perf_counter() - t0)
+    # median of reps (same statistic as bench.py — an optimistic best-of
+    # here risked repeating the round-2 "51.8 did not reproduce" drift),
+    # plus min..max spread for the printout
     work = n_ch * (bs // 2) * n_steps * REPEATS / 1e9
-    return max(work / dt for dt in dts)
+    vals = sorted(work / dt for dt in dts)
+    return vals[len(vals) // 2], (vals[0], vals[-1])
 
 
 def main() -> int:
@@ -75,8 +79,9 @@ def main() -> int:
     ]
     for name, kw in configs:
         try:
-            gs = bench(Receiver(0, stereo=True, rds=True, **kw))
-            print(f"  {name:32s} {gs:6.2f} GS/s", file=sys.stderr)
+            gs, (lo, hi) = bench(Receiver(0, stereo=True, rds=True, **kw))
+            print(f"  {name:32s} {gs:6.2f} GS/s ({lo:.2f}..{hi:.2f})",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — shootout must survive a bad cfg
             print(f"  {name:32s} FAILED: {e!r}", file=sys.stderr)
     return 0
