@@ -100,6 +100,7 @@ class Receiver:
                  fuse_demod: bool = True,
                  fused_ifbank: bool | str = False,
                  filter_engine: str = "direct",
+                 conv_engine: str = "conv",
                  conv_dtype: str = "f32",
                  stereo_phase_adjust: float = 0.0,
                  compat_pll: bool = False,
@@ -146,6 +147,13 @@ class Receiver:
         # — the two interchangeable convolution engines of the north star.
         assert filter_engine in ("direct", "fft")
         self.filter_engine = filter_engine
+        # schedule for the direct engine's resampling FIRs: 'conv' = XLA
+        # conv_general_dilated (exact reference reduction order); 'tiled' =
+        # tiled banded GEMM (ops/banded.py) — same terms restructured onto
+        # the MXU lane axis, ~5x faster for the N<=U-out-channel stages XLA
+        # lowers off-MXU (float-tolerance equivalent; the fast profile)
+        assert conv_engine in ("conv", "tiled")
+        self.conv_engine = conv_engine
         # bf16 compute for every post-demod FIR stage (f32 accumulation):
         # ~45-50 dB per-conv SNR, well under FM demod's ~25 dB distortion
         # floor — the MXU runs bf16 at 4x the f32 conv rate (fast profile)
@@ -175,6 +183,9 @@ class Receiver:
             if filter_engine == "fft":
                 from sdr_tpu.ops.fft_conv import OverlapSaveFIR
                 return OverlapSaveFIR(coeff, down, up)
+            if conv_engine == "tiled":
+                from sdr_tpu.ops.banded import TiledBandedFIR
+                return TiledBandedFIR(coeff, up, down, compute_dtype=_cdt)
             return PolyphaseResampler(coeff, up, down, compute_dtype=_cdt)
 
         if_fs = cfg.if_fs
@@ -269,8 +280,13 @@ class Receiver:
             self.rds_channel_filter = (None if self.if_bpf3 is not None
                                        else _dec_filter(rds_chan))
             self.rds_carrier_filter = _dec_filter(rds_carr)
-            self.rds_resampler = PolyphaseResampler(rds_lpf, u, d,
+            if conv_engine == "tiled":
+                from sdr_tpu.ops.banded import TiledBandedFIR
+                self.rds_resampler = TiledBandedFIR(rds_lpf, u, d,
                                                     compute_dtype=_cdt)
+            else:
+                self.rds_resampler = PolyphaseResampler(rds_lpf, u, d,
+                                                        compute_dtype=_cdt)
             self.rds_rrc = _dec_filter(rrc)
             # group-delay alignment of the channel path against the
             # square->BPF(51 taps)->PLL carrier path (spec Fig 10 all-pass)
@@ -454,9 +470,10 @@ class Receiver:
         # the stereo (L-R) resample below — both run the same audio filter
         # bank, so stacking them on the conv batch axis halves the conv
         # launches (bit-identical: conv rows are independent).
+        from sdr_tpu.ops.banded import TiledBandedFIR
         defer_mono = (self.stereo and not self.compat_shared_audio_state
                       and isinstance(self.audio_resampler,
-                                     PolyphaseResampler))
+                                     (PolyphaseResampler, TiledBandedFIR)))
         mono_audio = audio_tail = None
         if not defer_mono:
             with jax.named_scope("mono_path"):

@@ -57,7 +57,7 @@ def _band(coeff: np.ndarray, in_rows: int, n_out: int,
 
 def _ifbank_kernel(xp_ref, acp_ref, are_ref, aca_ref, chan_ref, pilot_ref,
                    rdsch_ref, carr_ref, scratch_ref, sem, *, in_len,
-                   out_tile, ext, compute_dtype):
+                   out_tile, ext, compute_dtype, sub_tiles):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     stride = out_tile
@@ -76,28 +76,38 @@ def _ifbank_kernel(xp_ref, acp_ref, are_ref, aca_ref, chan_ref, pilot_ref,
         get_dma((t + 1) % 2, t + 1).start()
 
     get_dma(t % 2, t).wait()
-    w = scratch_ref[t % 2].astype(compute_dtype)        # (C, OT+CTX)
-    cp = jnp.dot(w, acp_ref[:, :], preferred_element_type=jnp.float32)
-    chan_ref[:, :] = cp[:, :out_tile]
-    pilot_ref[:, :] = cp[:, out_tile:]
-    re = jnp.dot(w, are_ref[:, :], preferred_element_type=jnp.float32)
-    rdsch_ref[:, :] = re[:, ext:]                       # aligned outputs
-    sq = (re * re).astype(compute_dtype)                # (C, OT+ext)
-    carr_ref[:, :] = jnp.dot(sq, aca_ref[:, :],
-                             preferred_element_type=jnp.float32)
+    # The band matrices are Toeplitz-shift invariant: sub-tile s reuses the
+    # SAME matrices over the window advanced by s*ot samples, so splitting
+    # the tile into sub_tiles sub-matmuls cuts the dense-band K dimension
+    # (and its zero-FLOP waste) ~sub_tiles x at identical outputs (only the
+    # all-zero rows leave the reduction).
+    ot = out_tile // sub_tiles
+    sub_in = ot + CTX
+    for s in range(sub_tiles):
+        w = scratch_ref[t % 2, :, s * ot:s * ot + sub_in].astype(
+            compute_dtype)                              # (C, ot+CTX)
+        cp = jnp.dot(w, acp_ref[:, :], preferred_element_type=jnp.float32)
+        chan_ref[:, s * ot:(s + 1) * ot] = cp[:, :ot]
+        pilot_ref[:, s * ot:(s + 1) * ot] = cp[:, ot:]
+        re = jnp.dot(w, are_ref[:, :], preferred_element_type=jnp.float32)
+        rdsch_ref[:, s * ot:(s + 1) * ot] = re[:, ext:]  # aligned outputs
+        sq = (re * re).astype(compute_dtype)            # (C, ot+ext)
+        carr_ref[:, s * ot:(s + 1) * ot] = jnp.dot(
+            sq, aca_ref[:, :], preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("out_tile", "ext", "interpret",
-                                             "compute_dtype"))
+                                             "compute_dtype", "sub_tiles"))
 def _ifbank_call(xp, acp, are, aca, *, out_tile, ext, interpret,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, sub_tiles=1):
     c, total = xp.shape
     in_len = out_tile + CTX
     n_out = total - CTX
     grid = n_out // out_tile
     kernel = functools.partial(_ifbank_kernel, in_len=in_len,
                                out_tile=out_tile, ext=ext,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               sub_tiles=sub_tiles)
     acp = acp.astype(compute_dtype)
     are = are.astype(compute_dtype)
     aca = aca.astype(compute_dtype)
@@ -127,32 +137,42 @@ class FusedIFBank:
     matching zero-filled FIR tails)."""
 
     def __init__(self, chan_coeff, pilot_coeff, rds_coeff, carr_coeff,
-                 out_tile: int = 512, compute_dtype=None):
+                 out_tile: int = 512, compute_dtype=None,
+                 sub_tiles: int = 4):
         taps = max(len(c) for c in (chan_coeff, pilot_coeff, rds_coeff,
                                     carr_coeff))
         assert 2 * (taps - 1) <= CTX, f"taps {taps} exceeds CTX {CTX}"
         self.taps = taps
         self.out_tile = int(out_tile)
+        # sub_tiles splits each tile into independent sub-matmuls over
+        # shifted windows (band matrices are Toeplitz-shift invariant and
+        # shared): K shrinks from out_tile+CTX to ot+CTX, cutting the
+        # dense-band zero-FLOP waste ~sub_tiles x.  2*ot must still fill
+        # the 128-lane matmul width.  Outputs identical to ~1 ULP (only
+        # all-zero band rows leave each reduction).
+        self.sub_tiles = int(sub_tiles)
+        ot = self.out_tile // self.sub_tiles
+        assert self.out_tile % self.sub_tiles == 0 and (2 * ot) % 128 == 0, (
+            out_tile, sub_tiles)
         self.compute_dtype = compute_dtype or jnp.float32
         ext = taps - 1
         self.ext = ext
-        in_rows = self.out_tile + CTX
+        in_rows = ot + CTX
         acp = np.concatenate([
-            _band(np.asarray(chan_coeff, np.float64), in_rows,
-                  self.out_tile, 0),
-            _band(np.asarray(pilot_coeff, np.float64), in_rows,
-                  self.out_tile, 0)], axis=1)
+            _band(np.asarray(chan_coeff, np.float64), in_rows, ot, 0),
+            _band(np.asarray(pilot_coeff, np.float64), in_rows, ot, 0)],
+            axis=1)
         are = _band(np.asarray(rds_coeff, np.float64), in_rows,
-                    self.out_tile + ext, ext)
+                    ot + ext, ext)
         # carrier band consumes the squared extended rds stream: its row m
-        # holds position (tile + m - ext), so the diagonal sits at
+        # holds position (sub-tile + m - ext), so the diagonal sits at
         # m = n - k + ext (same derivation as _band with CTX -> ext)
-        aca = np.zeros((self.out_tile + ext, self.out_tile), np.float32)
+        aca = np.zeros((ot + ext, ot), np.float32)
         carr = np.asarray(carr_coeff, np.float64)
-        for n in range(self.out_tile):
+        for n in range(ot):
             for k in range(len(carr)):
                 m = n - k + ext
-                if 0 <= m < self.out_tile + ext:
+                if 0 <= m < ot + ext:
                     aca[m, n] = carr[k]
         self._acp = jnp.asarray(acp)
         self._are = jnp.asarray(are)
@@ -179,7 +199,7 @@ class FusedIFBank:
         chan, pilot, rdsch, carr = _ifbank_call(
             xp, self._acp, self._are, self._aca, out_tile=self.out_tile,
             ext=self.ext, interpret=interpret,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, sub_tiles=self.sub_tiles)
         if c_pad != c:
             chan, pilot = chan[:c], pilot[:c]
             rdsch, carr = rdsch[:c], carr[:c]

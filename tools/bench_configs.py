@@ -66,16 +66,18 @@ def main() -> int:
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
     configs = [
-        ("ff+bf16conv (bench.py today)",
-         dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16")),
-        ("ff+bf16conv+ifbank-bf16",
+        ("ff+bf16conv+ifbank-bf16 (r3 headline)",
          dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
               fused_ifbank="bf16")),
-        ("ff+bf16conv+ifbank-f32",
+        ("r3 headline + tiled convs",
          dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
-              fused_ifbank=True)),
-        ("ff only (f32 convs)",
-         dict(fused_frontend="bf16", pll_impl="ff")),
+              fused_ifbank="bf16", conv_engine="tiled")),
+        ("tiled convs, f32",
+         dict(fused_frontend="bf16", pll_impl="ff",
+              fused_ifbank="bf16", conv_engine="tiled")),
+        ("tiled convs, no ifbank",
+         dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+              conv_engine="tiled")),
     ]
     for name, kw in configs:
         try:
