@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "feedforward carrier recovery + bf16 conv profile "
                         "(~53 dB channelizer / ~45 dB per-conv SNR, "
                         "transparent for FM audio)")
+    p.add_argument("--exact-fast", action="store_true",
+                   help="exact-integer front end (int8x2): bit-exact "
+                        "reproducible channelizing at int8-MXU rate "
+                        "(~90 dB fixed-point coefficients), f32 everywhere "
+                        "else — determinism of the exact path without its "
+                        "cost")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory "
                         "(per-stage named scopes included)")
@@ -123,8 +129,13 @@ def main(argv: list[str] | None = None) -> int:
 
     # feedforward carrier recovery is pure XLA — fastest on TPU and CPU
     # alike (no backend-dependent dispatch needed)
-    fast = (dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16")
+    fast = (dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+                 conv_engine="tiled")
             if args.fast else {})
+    if args.fast and stereo and rds:
+        fast["fused_ifbank"] = "bf16"   # the bench.py headline engine set
+    if args.exact_fast:
+        fast["fused_frontend"] = "int8x2"
     want_if = args.psd_dump is not None or args.psd_anim is not None
     rx = Receiver(args.mode, stereo=stereo, rds=rds, emit_if=want_if, **fast)
     state = rx.init_state()
@@ -150,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
     n_in = 0
     t0 = time.perf_counter()
     pending = None  # double buffering: overlap host read with device compute
+    step_times: list[float] = []
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -159,7 +171,9 @@ def main(argv: list[str] | None = None) -> int:
         if pending is not None:
             _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks,
                    psd_anim)
+        ts = time.perf_counter()
         state, out = step(state, jax.numpy.asarray(raw))
+        step_times.append(time.perf_counter() - ts)
         pending = out
         n_in += len(raw)
     if pending is not None:
@@ -176,6 +190,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"processed {n_in/2:.0f} IQ samples in {elapsed:.2f}s "
               f"= {ms:.2f} MS/s ({ms*1e6/cfg.rf_fs:.1f}x real time)",
               file=sys.stderr)
+        if len(step_times) > 1:
+            # skip the first step (jit compile); dispatch latency per step
+            # bounds the live pipeline lag on top of block accumulation
+            # (reference bound: capacity-3 queue ~ 8 ms, project.cpp:17)
+            st = sorted(step_times[1:])
+            p50 = st[len(st) // 2] * 1e3
+            p95 = st[int(len(st) * 0.95)] * 1e3
+            blk_ms = block_size / 2 / cfg.rf_fs * 1e3
+            print(f"step latency: p50 {p50:.1f} ms / p95 {p95:.1f} ms per "
+                  f"{blk_ms:.1f} ms RF block step "
+                  f"(lower --blocks-per-step for lower latency)",
+                  file=sys.stderr)
     print("End of input stream reached!", file=sys.stderr)
 
     if args.wav and wav_chunks:

@@ -203,7 +203,12 @@ class Receiver:
         self.fused_frontend = bool(fused_frontend)
         if fused_frontend:
             from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
-            dt = jnp.bfloat16 if fused_frontend == "bf16" else jnp.float32
+            # "int8x2" = the exact-integer engine: bit-exact under any
+            # tiling (int32 accumulation), ~90 dB coefficient fixed-point,
+            # int8-MXU rate (2x bf16 on v5e) — the fast-AND-exact profile
+            dt = (jnp.bfloat16 if fused_frontend == "bf16"
+                  else "int8x2" if fused_frontend == "int8x2"
+                  else jnp.float32)
             # fe_out_tile trades banded-matmul FLOP waste (rows ~ 2*D*OT,
             # useful band ~ 2*taps per column) against per-tile overhead;
             # 64 halves the waste vs 128 while keeping 2*OT a full lane dim

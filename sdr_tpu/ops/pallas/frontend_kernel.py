@@ -50,8 +50,36 @@ def _build_band_matrix(coeff: np.ndarray, decim: int, out_tile: int,
     return a
 
 
+FIX_BITS = 14  # fixed-point fraction bits of the int8x2 coefficient limbs
+
+
+def _quantize_limbs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
+    """Split a float band matrix into two int8 limbs of a 15-bit
+    fixed-point representation: a ~= (a1*128 + a2) * scale, a1/a2 int8.
+
+    The int8x2 exact-integer engine (see FusedFrontend): with the u8 input
+    exactly int8 (x-128) and coefficients as two int8 limbs, the MXU's
+    int8 x int8 -> int32 matmuls accumulate EXACT integers — the result is
+    bit-identical under ANY tiling/reduction order (integer addition is
+    associative), unlike every float engine including the direct XLA f32
+    conv whose last ulps depend on XLA's reduction tree.  Coefficient
+    quantization to 15 bits costs ~90 dB SNR — 64 dB below the f32
+    design's own windowed-sinc stop-band, transparent at the FM demod
+    distortion floor.
+    """
+    peak = np.abs(a).max()
+    s = 2.0 ** np.ceil(np.log2(peak)) if peak > 0 else 1.0
+    fix = np.round(a / s * (1 << FIX_BITS)).astype(np.int32)
+    hi = np.round(fix / 128.0).astype(np.int32)
+    lo = fix - 128 * hi
+    assert np.all(np.abs(hi) <= 127) and np.all(np.abs(lo) <= 127)
+    return (hi.astype(np.int8), lo.astype(np.int8),
+            float(s / (1 << FIX_BITS)))
+
+
 def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
-                     in_len, out_tile, decim, compute_dtype, sub_tiles):
+                     in_len, out_tile, decim, compute_dtype, sub_tiles,
+                     fix_scale=0.0):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     stride = 2 * decim * out_tile
@@ -81,9 +109,10 @@ def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
     # block stays a legal (C, out_tile>=128) shape.  Sub-windows overlap by
     # the tail rows only; each output still reduces exactly the same
     # nonzero terms (equivalent to ~1 ULP — only the reduction tree over
-    # the band's zero rows changes).
+    # the band's zero rows changes; BIT-identical in int8x2 mode, where
+    # the reduction is integer and therefore associative).
     ot = out_tile // sub_tiles
-    sub_in = a_ref.shape[0]
+    sub_in = a_ref.shape[-2]
     for s in range(sub_tiles):
         # Mosaic has no direct u8->f32 cast; XOR the sign bit to reinterpret
         # the excess-128 byte as int8 (exactly x-128), then widen.  The
@@ -92,15 +121,24 @@ def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
         sl = scratch_ref[slot, :, s * 2 * decim * ot:s * 2 * decim * ot
                          + sub_in]
         as_i8 = pltpu.bitcast(sl ^ jnp.uint8(0x80), jnp.int8)
-        xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
-        out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
+        if compute_dtype == "int8x2":
+            # exact-integer engine: x int8 (the decode, x128) times two
+            # int8 coefficient limbs in int32 — bit-exact reduction
+            acc1 = jnp.dot(as_i8, a_ref[0], preferred_element_type=jnp.int32)
+            acc2 = jnp.dot(as_i8, a_ref[1], preferred_element_type=jnp.int32)
+            out = (acc1 * 128 + acc2).astype(jnp.float32) * jnp.float32(
+                fix_scale / 128.0)  # /128 undoes the int8 decode scaling
+        else:
+            xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
+            out = jnp.dot(xf, a_ref[:, :],
+                          preferred_element_type=jnp.float32)
         i_ref[:, s * ot:(s + 1) * ot] = out[:, :ot]
         q_ref[:, s * ot:(s + 1) * ot] = out[:, ot:]
 
 
 def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
                            scratch_ref, sem, *, in_len, out_tile, decim,
-                           compute_dtype, sub_tiles):
+                           compute_dtype, sub_tiles, fix_scale=0.0):
     """Front-end + FM discriminator in one launch.
 
     Same banded matmul as `_frontend_kernel`, but the decimated I/Q tiles
@@ -136,13 +174,20 @@ def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
     get_dma(t % 2, t).wait()
     slot = t % 2
     ot = out_tile // sub_tiles
-    sub_in = a_ref.shape[0]
+    sub_in = a_ref.shape[-2]
     for s in range(sub_tiles):
         sl = scratch_ref[slot, :, s * 2 * decim * ot:s * 2 * decim * ot
                          + sub_in]
         as_i8 = pltpu.bitcast(sl ^ jnp.uint8(0x80), jnp.int8)
-        xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
-        out = jnp.dot(xf, a_ref[:, :], preferred_element_type=jnp.float32)
+        if compute_dtype == "int8x2":
+            acc1 = jnp.dot(as_i8, a_ref[0], preferred_element_type=jnp.int32)
+            acc2 = jnp.dot(as_i8, a_ref[1], preferred_element_type=jnp.int32)
+            out = (acc1 * 128 + acc2).astype(jnp.float32) * jnp.float32(
+                fix_scale / 128.0)
+        else:
+            xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
+            out = jnp.dot(xf, a_ref[:, :],
+                          preferred_element_type=jnp.float32)
         i_sub, q_sub = out[:, :ot], out[:, ot:]
         i_prev = jnp.concatenate([misc_ref[:, 0:1], i_sub[:, :ot - 1]],
                                  axis=1)
@@ -160,28 +205,31 @@ def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
-                                              "compute_dtype", "sub_tiles"))
+                                              "compute_dtype", "sub_tiles",
+                                              "fix_scale"))
 def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
-                               compute_dtype=jnp.float32, sub_tiles=1):
+                               compute_dtype=jnp.float32, sub_tiles=1,
+                               fix_scale=0.0):
     c, total = xp.shape
     ot = out_tile // sub_tiles
-    tail_u8 = a.shape[0] - 2 * decim * ot
+    tail_u8 = a.shape[-2] - 2 * decim * ot
     in_len = 2 * decim * out_tile + tail_u8
     n_out = (total - tail_u8) // (2 * decim)
     grid = n_out // out_tile
     kernel = functools.partial(_frontend_demod_kernel, in_len=in_len,
                                out_tile=out_tile, decim=decim,
                                compute_dtype=compute_dtype,
-                               sub_tiles=sub_tiles)
-    a = a.astype(compute_dtype)
+                               sub_tiles=sub_tiles, fix_scale=fix_scale)
+    if compute_dtype != "int8x2":
+        a = a.astype(compute_dtype)
     fm, misc = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=(jax.ShapeDtypeStruct((c, n_out), jnp.float32),
                    jax.ShapeDtypeStruct((c, LANES), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((a.shape[0], 2 * ot),
-                               lambda t: (0, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec((c, LANES), lambda t: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((c, out_tile), lambda t: (0, t),
@@ -196,28 +244,31 @@ def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
 
 
 @functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
-                                              "compute_dtype", "sub_tiles"))
+                                              "compute_dtype", "sub_tiles",
+                                              "fix_scale"))
 def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
-                         compute_dtype=jnp.float32, sub_tiles=1):
+                         compute_dtype=jnp.float32, sub_tiles=1,
+                         fix_scale=0.0):
     c, total = xp.shape
     ot = out_tile // sub_tiles
-    tail_u8 = a.shape[0] - 2 * decim * ot
+    tail_u8 = a.shape[-2] - 2 * decim * ot
     in_len = 2 * decim * out_tile + tail_u8
     n_out = (total - tail_u8) // (2 * decim)
     grid = n_out // out_tile
     kernel = functools.partial(_frontend_kernel, in_len=in_len,
                                out_tile=out_tile, decim=decim,
                                compute_dtype=compute_dtype,
-                               sub_tiles=sub_tiles)
-    a = a.astype(compute_dtype)
+                               sub_tiles=sub_tiles, fix_scale=fix_scale)
+    if compute_dtype != "int8x2":
+        a = a.astype(compute_dtype)
     i_ds, q_ds = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=(jax.ShapeDtypeStruct((c, n_out), jnp.float32),
                    jax.ShapeDtypeStruct((c, n_out), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((a.shape[0], 2 * ot),
-                               lambda t: (0, 0), memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
+                               memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((c, out_tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((c, out_tile), lambda t: (0, t),
@@ -249,15 +300,25 @@ class FusedFrontend:
         assert out_tile % sub_tiles == 0 and (
             2 * out_tile // sub_tiles) % 128 == 0, (out_tile, sub_tiles)
         # bf16 mode: exact u8 decode, ~0.4% coefficient rounding (~55 dB
-        # output SNR) for a 4x MXU rate and half the VMEM traffic
+        # output SNR) for a 4x MXU rate and half the VMEM traffic.
+        # "int8x2" mode: the exact-integer engine — coefficients as two
+        # int8 limbs of a 15-bit fixed-point value (~90 dB), int32
+        # accumulation: BIT-exact under any tiling (see _quantize_limbs),
+        # at the MXU's int8 rate (2x bf16 on v5e).
         import jax.numpy as _jnp
         self.compute_dtype = compute_dtype or _jnp.float32
         # carried raw tail, rounded up to the 128-lane DMA alignment Mosaic
         # requires; rows below the FIR reach are zero in the band matrix
         self.tail_u8 = -(-(2 * (self.taps - 1)) // 128) * 128
-        self._a = jnp.asarray(_build_band_matrix(
+        band = _build_band_matrix(
             np.asarray(coeff, np.float64), decim, out_tile // sub_tiles,
-            self.tail_u8))
+            self.tail_u8)
+        self.fix_scale = 0.0
+        if self.compute_dtype == "int8x2":
+            hi, lo, self.fix_scale = _quantize_limbs(band)
+            self._a = jnp.asarray(np.stack([hi, lo]))
+        else:
+            self._a = jnp.asarray(band)
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
         # value 128 decodes to 0.0 == zero-filled float tails
@@ -286,7 +347,8 @@ class FusedFrontend:
                                           out_tile=self.out_tile,
                                           interpret=interpret,
                                           compute_dtype=self.compute_dtype,
-                                          sub_tiles=self.sub_tiles)
+                                          sub_tiles=self.sub_tiles,
+                                          fix_scale=self.fix_scale)
         if c_pad != c:
             i_ds, q_ds = i_ds[:c], q_ds[:c]
         new_tail = u8_block[..., n - self.tail_u8:]
@@ -325,7 +387,7 @@ class FusedFrontend:
         fm, misc = _fused_frontend_demod_call(
             xp, self._a, prev, decim=self.decim, out_tile=self.out_tile,
             interpret=interpret, compute_dtype=self.compute_dtype,
-            sub_tiles=self.sub_tiles)
+            sub_tiles=self.sub_tiles, fix_scale=self.fix_scale)
         fm, misc = fm[:c], misc[:c]
         new_tail = u8_block[..., n - self.tail_u8:]
         new_prev_i, new_prev_q, power = misc[:, 0], misc[:, 1], misc[:, 2]

@@ -202,3 +202,68 @@ def test_fused_ifbank_matches_xla_chain():
     for k in ("left", "right", "rds_soft"):
         np.testing.assert_allclose(np.asarray(of[k]), np.asarray(ob[k]),
                                    atol=1e-5)
+
+
+def test_int8x2_frontend_bit_exact_vs_integer_oracle():
+    """The exact-integer front end (fused_frontend='int8x2') is BIT-identical
+    to an independent NumPy integer-matmul oracle of the same 15-bit
+    fixed-point math — integer accumulation is associative, so the result
+    is reproducible under any tiling (a determinism guarantee the float
+    engines, including the direct XLA f32 conv, cannot make).  VERDICT r3
+    next-round item 4 (make bit-exact fast)."""
+    from sdr_tpu.ops import firdes
+    from sdr_tpu.ops.pallas.frontend_kernel import (FusedFrontend,
+                                                    _build_band_matrix,
+                                                    _quantize_limbs)
+
+    coeff = firdes.lowpass(2.4e6, 100e3, 51, 1)
+    rng = np.random.default_rng(0)
+    C, n = 4, 2 * 10 * 512
+    u8 = rng.integers(0, 256, size=(C, n), dtype=np.uint8)
+
+    for sub_tiles in (1, 2):
+        fe = FusedFrontend(coeff, 10, compute_dtype="int8x2",
+                           sub_tiles=sub_tiles)
+        tail = np.asarray(fe.init_state((C,)))
+        i_ds, q_ds, _ = fe(jnp.asarray(u8), jnp.asarray(tail),
+                           interpret=True)
+
+        hi, lo, scale = _quantize_limbs(_build_band_matrix(
+            np.asarray(coeff, np.float64), 10, fe.out_tile // fe.sub_tiles,
+            fe.tail_u8))
+        xi = np.concatenate([tail, u8], axis=-1).astype(np.int64) - 128
+        ot = fe.out_tile // fe.sub_tiles
+        n_out = n // 20
+        a_int = hi.astype(np.int64) * 128 + lo.astype(np.int64)
+        i_or = np.zeros((C, n_out), np.float32)
+        q_or = np.zeros((C, n_out), np.float32)
+        for blk in range(n_out // ot):
+            w = xi[:, blk * 2 * 10 * ot: blk * 2 * 10 * ot + a_int.shape[0]]
+            f = (w @ a_int).astype(np.float32) * np.float32(scale / 128.0)
+            i_or[:, blk * ot:(blk + 1) * ot] = f[:, :ot]
+            q_or[:, blk * ot:(blk + 1) * ot] = f[:, ot:]
+        assert np.array_equal(np.asarray(i_ds), i_or), sub_tiles
+        assert np.array_equal(np.asarray(q_ds), q_or), sub_tiles
+
+
+def test_int8x2_full_chain_matches_exact_f32():
+    """Full mono chain (demod fused in-kernel) on int8x2: >100 dB stream
+    agreement with the exact-f32 path (15-bit coefficient quantization is
+    ~60 dB below the FM chain's own floor) and bit-level deterministic."""
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+
+    cfg = MODES[0]
+    n = int(0.2 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.2,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    o_r, _ = Receiver(0).run(cap, blocks_per_step=2)
+    rxi = Receiver(0, fused_frontend="int8x2")
+    o_i, _ = rxi.run(cap, blocks_per_step=2)
+    a, b = np.asarray(o_r["mono"]), np.asarray(o_i["mono"])
+    snr = 20 * np.log10(np.sqrt(np.mean(a * a))
+                        / (np.sqrt(np.mean((a - b) ** 2)) + 1e-30))
+    assert snr > 100.0, f"int8x2 vs f32 stream SNR {snr:.1f} dB"
+    o_i2, _ = rxi.run(cap, blocks_per_step=2)
+    assert np.array_equal(b, np.asarray(o_i2["mono"]))
