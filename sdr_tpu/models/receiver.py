@@ -201,6 +201,8 @@ class Receiver:
         # end-to-end mono throughput on v5e, transparent for FM audio whose
         # demod distortion floor is ~25 dB.
         self.fused_frontend = bool(fused_frontend)
+        # bf16-materialization profile (see _fused_fe construction below)
+        self._mat_bf16 = (fused_frontend == "bf16" and conv_dtype == "bf16")
         if fused_frontend:
             from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
             # "int8x2" = the exact-integer engine: bit-exact under any
@@ -209,13 +211,17 @@ class Receiver:
             dt = (jnp.bfloat16 if fused_frontend == "bf16"
                   else "int8x2" if fused_frontend == "int8x2"
                   else jnp.float32)
+            # bf16 materialization: when the whole downstream chain
+            # computes in bf16 anyway (conv_dtype='bf16'), write the fm
+            # stream at bf16 — halves its HBM traffic; values are only
+            # rounded where the compute profile rounds them regardless
             # fe_out_tile trades banded-matmul FLOP waste (rows ~ 2*D*OT,
             # useful band ~ 2*taps per column) against per-tile overhead;
             # 64 halves the waste vs 128 while keeping 2*OT a full lane dim
-            self._fused_fe = FusedFrontend(rf_coeff, cfg.rf_decim,
-                                           out_tile=fe_out_tile,
-                                           sub_tiles=fe_sub_tiles,
-                                           compute_dtype=dt)
+            self._fused_fe = FusedFrontend(
+                rf_coeff, cfg.rf_decim, out_tile=fe_out_tile,
+                sub_tiles=fe_sub_tiles, compute_dtype=dt,
+                out_dtype=jnp.bfloat16 if self._mat_bf16 else None)
         # fold the FM discriminator into the fused front-end kernel: the
         # decimated I/Q stay in VMEM and only fm_demod reaches HBM (bit-
         # identical to the two-stage path — ops/pallas/frontend_kernel.py
@@ -264,6 +270,8 @@ class Receiver:
         if fused_ifbank and stereo and rds and filter_engine == "direct":
             from sdr_tpu.ops.pallas.ifbank_kernel import FusedIFBank
             dt = jnp.bfloat16 if fused_ifbank == "bf16" else jnp.float32
+            mat = (jnp.bfloat16 if (fused_ifbank == "bf16"
+                                    and conv_dtype == "bf16") else None)
             self._ifbank = FusedIFBank(
                 firdes.bandpass(if_fs, cfg.stereo_lo, cfg.stereo_hi,
                                 cfg.bp_taps),
@@ -272,7 +280,7 @@ class Receiver:
                 firdes.bandpass(if_fs, cfg.rds_lo, cfg.rds_hi, cfg.bp_taps),
                 firdes.bandpass(if_fs, cfg.rds_carrier_lo,
                                 cfg.rds_carrier_hi, cfg.bp_taps),
-                compute_dtype=dt)
+                compute_dtype=dt, out_dtype=mat)
         if rds:
             u, d = cfg.rds_resample
             self.rds_u, self.rds_d = u, d
@@ -365,7 +373,10 @@ class Receiver:
                               if self._ifbank is not None else
                               self.rds_carrier_filter.init_state(batch_shape)),
                 pll=pll_init(batch_shape),
-                delay=jnp.zeros(batch_shape + (self.rds_delay,), f32),
+                delay=jnp.zeros(batch_shape + (self.rds_delay,),
+                                jnp.bfloat16 if (self._mat_bf16
+                                                 and self._ifbank is not None)
+                                else f32),
                 lpf_resamp_tail=self.rds_resampler.init_state(batch_shape),
                 rrc_tail=self.rds_rrc.init_state(batch_shape),
             )
@@ -582,10 +593,13 @@ class Receiver:
                 stereo_audio, audio_tail = self.audio_resampler(mixed, audio_tail)
                 stereo_audio_tail = st.stereo_audio_tail
             elif defer_mono:
-                # one conv for both IF->audio resamples (same filter bank)
+                # one conv for both IF->audio resamples (same filter bank);
+                # in the bf16-materialization profile `mixed` joins the
+                # stack at bf16 (the conv rounds it to bf16 regardless)
                 with jax.named_scope("audio_resample_pair"):
                     pair, pair_tails = self.audio_resampler(
-                        jnp.stack([fm_demod, mixed]),
+                        jnp.stack([fm_demod,
+                                   mixed.astype(fm_demod.dtype)]),
                         jnp.stack([state.mono.audio_tail,
                                    st.stereo_audio_tail]))
                 mono_audio, stereo_audio = pair[0], pair[1]

@@ -80,17 +80,26 @@ class TiledBandedFIR:
             group = max(1, -(-128 // up), -(-(L - down) // down))
         self.group = int(group)
         self.compute_dtype = compute_dtype or jnp.float32
+        # bf16 compute: inputs/tails are stored at bf16 too — numerically
+        # identical to f32 storage + per-use bf16 cast (the cast is the
+        # first thing the einsum does), at half the HBM traffic
+        self._store_dtype = (jnp.bfloat16
+                             if self.compute_dtype == jnp.bfloat16
+                             else jnp.float32)
         assert L - down <= self.group * down, (
             f"window overlap {L - down} exceeds tile advance "
             f"{self.group * down}: raise group")
         self._a = jnp.asarray(_tile_band_matrix(B, down, self.group))
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
-        return jnp.zeros(batch_shape + (self.state_len,), dtype=jnp.float32)
+        return jnp.zeros(batch_shape + (self.state_len,),
+                         dtype=self._store_dtype)
 
     def __call__(self, x: jax.Array, tail: jax.Array):
         return _tiled_apply(self._a, self.up, self.down, self.state_len,
-                            self.L, self.group, self.compute_dtype, x, tail)
+                            self.L, self.group, self.compute_dtype,
+                            x.astype(self._store_dtype),
+                            tail.astype(self._store_dtype))
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))

@@ -197,7 +197,7 @@ def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
         den = i_sub * i_sub + q_sub * q_sub
         fm = jnp.where(den == 0.0, 0.0,
                        num / jnp.where(den == 0.0, 1.0, den))
-        fm_ref[:, s * ot:(s + 1) * ot] = fm
+        fm_ref[:, s * ot:(s + 1) * ot] = fm.astype(fm_ref.dtype)
         misc_ref[:, 0:1] = i_sub[:, ot - 1:ot]
         misc_ref[:, 1:2] = q_sub[:, ot - 1:ot]
         misc_ref[:, 2:3] = misc_ref[:, 2:3] + jnp.sum(den, axis=1,
@@ -206,10 +206,10 @@ def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
 
 @functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
                                               "compute_dtype", "sub_tiles",
-                                              "fix_scale"))
+                                              "fix_scale", "out_dtype"))
 def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
                                compute_dtype=jnp.float32, sub_tiles=1,
-                               fix_scale=0.0):
+                               fix_scale=0.0, out_dtype=jnp.float32):
     c, total = xp.shape
     ot = out_tile // sub_tiles
     tail_u8 = a.shape[-2] - 2 * decim * ot
@@ -225,7 +225,7 @@ def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
     fm, misc = pl.pallas_call(
         kernel,
         grid=(grid,),
-        out_shape=(jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((c, n_out), out_dtype),
                    jax.ShapeDtypeStruct((c, LANES), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
@@ -288,7 +288,7 @@ class FusedFrontend:
     """
 
     def __init__(self, coeff: np.ndarray, decim: int, out_tile: int = 128,
-                 compute_dtype=None, sub_tiles: int = 1):
+                 compute_dtype=None, sub_tiles: int = 1, out_dtype=None):
         self.taps = len(coeff)
         self.decim = int(decim)
         self.out_tile = int(out_tile)
@@ -307,6 +307,9 @@ class FusedFrontend:
         # at the MXU's int8 rate (2x bf16 on v5e).
         import jax.numpy as _jnp
         self.compute_dtype = compute_dtype or _jnp.float32
+        # fm output materialization dtype (demod_call only): bf16 halves
+        # the fm stream's HBM traffic in the bf16-materialization profile
+        self.out_dtype = out_dtype or _jnp.float32
         # carried raw tail, rounded up to the 128-lane DMA alignment Mosaic
         # requires; rows below the FIR reach are zero in the band matrix
         self.tail_u8 = -(-(2 * (self.taps - 1)) // 128) * 128
@@ -387,7 +390,8 @@ class FusedFrontend:
         fm, misc = _fused_frontend_demod_call(
             xp, self._a, prev, decim=self.decim, out_tile=self.out_tile,
             interpret=interpret, compute_dtype=self.compute_dtype,
-            sub_tiles=self.sub_tiles, fix_scale=self.fix_scale)
+            sub_tiles=self.sub_tiles, fix_scale=self.fix_scale,
+            out_dtype=self.out_dtype)
         fm, misc = fm[:c], misc[:c]
         new_tail = u8_block[..., n - self.tail_u8:]
         new_prev_i, new_prev_q, power = misc[:, 0], misc[:, 1], misc[:, 2]

@@ -87,19 +87,23 @@ def _ifbank_kernel(xp_ref, acp_ref, are_ref, aca_ref, chan_ref, pilot_ref,
         w = scratch_ref[t % 2, :, s * ot:s * ot + sub_in].astype(
             compute_dtype)                              # (C, ot+CTX)
         cp = jnp.dot(w, acp_ref[:, :], preferred_element_type=jnp.float32)
-        chan_ref[:, s * ot:(s + 1) * ot] = cp[:, :ot]
-        pilot_ref[:, s * ot:(s + 1) * ot] = cp[:, ot:]
+        odt = chan_ref.dtype
+        chan_ref[:, s * ot:(s + 1) * ot] = cp[:, :ot].astype(odt)
+        pilot_ref[:, s * ot:(s + 1) * ot] = cp[:, ot:].astype(odt)
         re = jnp.dot(w, are_ref[:, :], preferred_element_type=jnp.float32)
-        rdsch_ref[:, s * ot:(s + 1) * ot] = re[:, ext:]  # aligned outputs
+        rdsch_ref[:, s * ot:(s + 1) * ot] = re[:, ext:].astype(odt)
         sq = (re * re).astype(compute_dtype)            # (C, ot+ext)
         carr_ref[:, s * ot:(s + 1) * ot] = jnp.dot(
-            sq, aca_ref[:, :], preferred_element_type=jnp.float32)
+            sq, aca_ref[:, :], preferred_element_type=jnp.float32
+        ).astype(odt)
 
 
 @functools.partial(jax.jit, static_argnames=("out_tile", "ext", "interpret",
-                                             "compute_dtype", "sub_tiles"))
+                                             "compute_dtype", "sub_tiles",
+                                             "out_dtype"))
 def _ifbank_call(xp, acp, are, aca, *, out_tile, ext, interpret,
-                 compute_dtype=jnp.float32, sub_tiles=1):
+                 compute_dtype=jnp.float32, sub_tiles=1,
+                 out_dtype=jnp.float32):
     c, total = xp.shape
     in_len = out_tile + CTX
     n_out = total - CTX
@@ -114,7 +118,7 @@ def _ifbank_call(xp, acp, are, aca, *, out_tile, ext, interpret,
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        out_shape=tuple(jax.ShapeDtypeStruct((c, n_out), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct((c, n_out), out_dtype)
                         for _ in range(4)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(a.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
@@ -122,7 +126,7 @@ def _ifbank_call(xp, acp, are, aca, *, out_tile, ext, interpret,
         out_specs=tuple(pl.BlockSpec((c, out_tile), lambda t: (0, t),
                                      memory_space=pltpu.VMEM)
                         for _ in range(4)),
-        scratch_shapes=[pltpu.VMEM((2, c, in_len), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c, in_len), xp.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(xp, acp, are, aca)
@@ -138,7 +142,7 @@ class FusedIFBank:
 
     def __init__(self, chan_coeff, pilot_coeff, rds_coeff, carr_coeff,
                  out_tile: int = 512, compute_dtype=None,
-                 sub_tiles: int = 4):
+                 sub_tiles: int = 4, out_dtype=None):
         taps = max(len(c) for c in (chan_coeff, pilot_coeff, rds_coeff,
                                     carr_coeff))
         assert 2 * (taps - 1) <= CTX, f"taps {taps} exceeds CTX {CTX}"
@@ -155,6 +159,11 @@ class FusedIFBank:
         assert self.out_tile % self.sub_tiles == 0 and (2 * ot) % 128 == 0, (
             out_tile, sub_tiles)
         self.compute_dtype = compute_dtype or jnp.float32
+        # out_dtype=bf16: materialize the four output streams at half
+        # width (the bf16-materialization profile — consumers compute in
+        # bf16 anyway, so this only removes f32<->bf16 round trips of
+        # values already rounded by the compute profile)
+        self.out_dtype = out_dtype or jnp.float32
         ext = taps - 1
         self.ext = ext
         in_rows = ot + CTX
@@ -179,7 +188,10 @@ class FusedIFBank:
         self._aca = jnp.asarray(aca)
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
-        return jnp.zeros(batch_shape + (CTX,), jnp.float32)
+        # the carried fm tail lives in the stream's materialization dtype
+        dt = (jnp.bfloat16 if self.out_dtype == jnp.bfloat16
+              else jnp.float32)
+        return jnp.zeros(batch_shape + (CTX,), dt)
 
     def __call__(self, fm: jax.Array, tail: jax.Array,
                  interpret: bool = False):
@@ -190,16 +202,17 @@ class FusedIFBank:
         c, n = fm.shape
         assert n % self.out_tile == 0, (
             f"IF block {n} not divisible by tile {self.out_tile}")
-        xp = jnp.concatenate([tail, fm], axis=-1)
+        xp = jnp.concatenate([tail.astype(fm.dtype), fm], axis=-1)
         c_pad = -(-c // 8) * 8
         if c_pad != c:
             xp = jnp.concatenate(
-                [xp, jnp.zeros((c_pad - c, xp.shape[-1]), jnp.float32)],
+                [xp, jnp.zeros((c_pad - c, xp.shape[-1]), xp.dtype)],
                 axis=0)
         chan, pilot, rdsch, carr = _ifbank_call(
             xp, self._acp, self._are, self._aca, out_tile=self.out_tile,
             ext=self.ext, interpret=interpret,
-            compute_dtype=self.compute_dtype, sub_tiles=self.sub_tiles)
+            compute_dtype=self.compute_dtype, sub_tiles=self.sub_tiles,
+            out_dtype=self.out_dtype)
         if c_pad != c:
             chan, pilot = chan[:c], pilot[:c]
             rdsch, carr = rdsch[:c], carr[:c]

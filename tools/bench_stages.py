@@ -48,6 +48,8 @@ def main() -> int:
     ap.add_argument("--n-ch", type=int, default=128)
     ap.add_argument("--bps", type=int, default=50)
     ap.add_argument("--n-steps", type=int, default=8)
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the (slow-compiling) full-chain rows")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -69,7 +71,7 @@ def main() -> int:
 
     results: list[tuple[str, float, float]] = []  # (name, sec/step, GS/s)
 
-    def bench_if_stage(name, make_state, step_fn):
+    def bench_if_stage(name, make_state, step_fn, blocks_in=None):
         """Scan an IF-rate stage over S blocks with carried state."""
         @jax.jit
         def run(state, blocks):
@@ -83,7 +85,8 @@ def main() -> int:
             (st, acc), _ = jax.lax.scan(outer, (state, jnp.float32(0.0)),
                                         None, length=REPEATS)
             return acc
-        dt = _timed(run, make_state(), if_blocks) / S
+        dt = _timed(run, make_state(),
+                    if_blocks if blocks_in is None else blocks_in) / S
         results.append((name, dt, n_iq * C / dt / 1e9))
         print(f"  {name:28s} {dt*1e3:8.3f} ms/step "
               f"{n_iq * C / dt / 1e9:7.1f} GS/s-alone", file=sys.stderr)
@@ -182,6 +185,57 @@ def main() -> int:
                             rx.rds_rrc.init_state((C,))),
                    rds_tail)
 
+    # ---- RDS resample + RRC, tiled banded-GEMM engine (ops/banded.py)
+    rx_t = Receiver(0, stereo=True, rds=True, fused_frontend="bf16",
+                    pll_impl="ff", conv_dtype="bf16", conv_engine="tiled")
+    def rds_tail_t(st, blk):
+        r_t, rrc_t = st
+        res, r_t = rx_t.rds_resampler(blk, r_t)
+        soft, rrc_t = rx_t.rds_rrc(res, rrc_t)
+        return (r_t, rrc_t), jnp.sum(soft)
+    bench_if_stage("rds_resample+rrc_tiled",
+                   lambda: (rx_t.rds_resampler.init_state((C,)),
+                            rx_t.rds_rrc.init_state((C,))),
+                   rds_tail_t)
+
+    # ---- audio resample pair: conv vs tiled
+    def audio_pair(r, st, blk):
+        pair, tails = r.audio_resampler(jnp.stack([blk, blk * 0.5]),
+                                        jnp.stack([st[0], st[1]]))
+        return (tails[0], tails[1]), jnp.sum(pair)
+    bench_if_stage("audio_pair_conv",
+                   lambda: (rx.audio_resampler.init_state((C,)),
+                            rx.audio_resampler.init_state((C,))),
+                   lambda st, blk: audio_pair(rx, st, blk))
+    bench_if_stage("audio_pair_tiled",
+                   lambda: (rx_t.audio_resampler.init_state((C,)),
+                            rx_t.audio_resampler.init_state((C,))),
+                   lambda st, blk: audio_pair(rx_t, st, blk))
+
+    # ---- fused IF bank: sub_tiles 1 vs 4 (input cropped to a whole
+    # number of 512-IF tiles; the receiver handles this via block_align_u8)
+    from sdr_tpu.ops.pallas.ifbank_kernel import FusedIFBank
+    from sdr_tpu.ops import firdes
+    cfg0 = rx.cfg
+    if_tiled_blocks = if_blocks[..., : (n_if // 512) * 512]
+    n_if_t = if_tiled_blocks.shape[-1]
+    for stt in (1, 4):
+        bank = FusedIFBank(
+            firdes.bandpass(cfg0.if_fs, cfg0.stereo_lo, cfg0.stereo_hi,
+                            cfg0.bp_taps),
+            firdes.bandpass(cfg0.if_fs, cfg0.pilot_lo, cfg0.pilot_hi,
+                            cfg0.bp_taps),
+            firdes.bandpass(cfg0.if_fs, cfg0.rds_lo, cfg0.rds_hi,
+                            cfg0.bp_taps),
+            firdes.bandpass(cfg0.if_fs, cfg0.rds_carrier_lo,
+                            cfg0.rds_carrier_hi, cfg0.bp_taps),
+            compute_dtype=jnp.bfloat16, sub_tiles=stt)
+        bench_if_stage(f"ifbank_bf16_sub{stt}",
+                       lambda b=bank: b.init_state((C,)),
+                       lambda st, blk, b=bank: (lambda c, p, rc, ci, t: (
+                           t, c + p + rc + ci))(*b(blk, st)),
+                       blocks_in=if_tiled_blocks)
+
     # ---- stereo mixer + audio resample + matrix + delay
     def stereo_tail(st, blk):
         d, sa_t = st
@@ -197,12 +251,13 @@ def main() -> int:
                    stereo_tail)
 
     # ---- full chains for cross-check
-    for label, r2 in [
+    full_rows = [] if args.skip_full else [
             ("FULL mono (bf16 fe)", Receiver(0, fused_frontend="bf16")),
             ("FULL stereo+rds ff", Receiver(0, stereo=True, rds=True,
                                             fused_frontend="bf16",
                                             pll_impl="ff")),
-            ("FULL stereo+rds fast", rx)]:
+            ("FULL stereo+rds fast", rx)]
+    for label, r2 in full_rows:
         bs2 = r2.block_size_u8(args.bps)
         blocks2 = (u8_blocks[..., :bs2] if bs2 <= bs else jax.device_put(
             rng.integers(0, 256, size=(S, C, bs2), dtype=np.uint8)))
@@ -226,11 +281,13 @@ def main() -> int:
               file=sys.stderr)
 
     # ---- summary table
-    full = next(dt for n, dt, _ in results if n == "FULL stereo+rds fast")
+    full = next((dt for n, dt, _ in results
+                 if n == "FULL stereo+rds fast"), None)
     print("\nstage                          ms/step   GS/s-alone   % of "
           "stereo+rds chain")
     for name, dt, gs in results:
-        print(f"{name:30s} {dt*1e3:8.3f}   {gs:8.1f}     {dt/full*100:6.1f}%")
+        pct = f"{dt/full*100:6.1f}%" if full else "      "
+        print(f"{name:30s} {dt*1e3:8.3f}   {gs:8.1f}     {pct}")
     return 0
 
 
