@@ -572,7 +572,14 @@ class Receiver:
                              float(self.stereo_phase_adjust)),
                             (float(cfg.rds_carrier_freq), float(cfg.if_fs),
                              0.5, 0.0)),
-                    window=self.pll_window)
+                    window=self.pll_window,
+                    # materialize the ncos at bf16 in the bf16 profile:
+                    # both consumers (mixers into bf16 convs) round to
+                    # bf16 regardless
+                    out_dtype=(jnp.bfloat16
+                               if (self._mat_bf16
+                                   and self._ifbank is not None)
+                               else jnp.float32))
         else:
             if self.stereo:
                 nco_s, pll_s = self._pll(pilot, st.pll, freq=cfg.pilot_freq,

@@ -77,9 +77,9 @@ def _quantize_limbs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
             float(s / (1 << FIX_BITS)))
 
 
-def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
-                     in_len, out_tile, decim, compute_dtype, sub_tiles,
-                     fix_scale=0.0):
+def _frontend_kernel(tail_ref, body_ref, a_ref, i_ref, q_ref, scratch_ref,
+                     sem, *, in_len, out_tile, decim, compute_dtype,
+                     sub_tiles, tail_u8, fix_scale=0.0):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     stride = 2 * decim * out_tile
@@ -87,21 +87,44 @@ def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
     # double-buffered input pipeline: tile t+1's HBM->VMEM copy runs while
     # tile t computes (the automatic pipeliner can't express the overlapping
     # input windows, so the copy is manual — without this it serializes
-    # with the matmul)
-    def get_dma(slot, idx):
+    # with the matmul).  The carried tail arrives as its OWN ref — the
+    # round-3 path concatenated tail+block in XLA first, which copied the
+    # entire raw input once more per step (measured 12% of the stereo
+    # step); only tile 0 touches the tail, via a second small DMA.
+    def body_dma(slot, idx):
+        # window for tile idx >= 1 starts at idx*stride - tail_u8 in body
+        # coordinates (assert stride >= tail_u8 holds: see caller)
         return pltpu.make_async_copy(
-            xp_ref.at[:, pl.ds(idx * stride, in_len)],
-            scratch_ref.at[slot], sem.at[slot])
+            body_ref.at[:, pl.ds(idx * stride - tail_u8, in_len)],
+            scratch_ref.at[slot], sem.at[slot, 0])
 
     @pl.when(t == 0)
     def _():
-        get_dma(0, 0).start()
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, tail_u8)],
+                              sem.at[0, 1]).start()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - tail_u8)],
+            scratch_ref.at[0, :, pl.ds(tail_u8, in_len - tail_u8)],
+            sem.at[0, 0]).start()
 
     @pl.when(t + 1 < n_t)
     def _():
-        get_dma((t + 1) % 2, t + 1).start()
+        body_dma((t + 1) % 2, t + 1).start()
 
-    get_dma(t % 2, t).wait()
+    @pl.when(t == 0)
+    def _():
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, tail_u8)],
+                              sem.at[0, 1]).wait()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - tail_u8)],
+            scratch_ref.at[0, :, pl.ds(tail_u8, in_len - tail_u8)],
+            sem.at[0, 0]).wait()
+
+    @pl.when(t > 0)
+    def _():
+        body_dma(t % 2, t).wait()
     slot = t % 2
     # The band matrix wastes MXU rows ~ 2*decim*tile / (2*taps) per column;
     # splitting the tile into sub_tiles independent sub-matmuls (each over
@@ -136,9 +159,10 @@ def _frontend_kernel(xp_ref, a_ref, i_ref, q_ref, scratch_ref, sem, *,
         q_ref[:, s * ot:(s + 1) * ot] = out[:, ot:]
 
 
-def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
-                           scratch_ref, sem, *, in_len, out_tile, decim,
-                           compute_dtype, sub_tiles, fix_scale=0.0):
+def _frontend_demod_kernel(tail_ref, body_ref, a_ref, prev_ref, fm_ref,
+                           misc_ref, scratch_ref, sem, *, in_len, out_tile,
+                           decim, compute_dtype, sub_tiles, tail_u8,
+                           fix_scale=0.0):
     """Front-end + FM discriminator in one launch.
 
     Same banded matmul as `_frontend_kernel`, but the decimated I/Q tiles
@@ -157,21 +181,39 @@ def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
     n_t = pl.num_programs(0)
     stride = 2 * decim * out_tile
 
-    def get_dma(slot, idx):
+    def body_dma(slot, idx):
         return pltpu.make_async_copy(
-            xp_ref.at[:, pl.ds(idx * stride, in_len)],
-            scratch_ref.at[slot], sem.at[slot])
+            body_ref.at[:, pl.ds(idx * stride - tail_u8, in_len)],
+            scratch_ref.at[slot], sem.at[slot, 0])
 
     @pl.when(t == 0)
     def _():
-        get_dma(0, 0).start()
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, tail_u8)],
+                              sem.at[0, 1]).start()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - tail_u8)],
+            scratch_ref.at[0, :, pl.ds(tail_u8, in_len - tail_u8)],
+            sem.at[0, 0]).start()
         misc_ref[:, :] = prev_ref[:, :]
 
     @pl.when(t + 1 < n_t)
     def _():
-        get_dma((t + 1) % 2, t + 1).start()
+        body_dma((t + 1) % 2, t + 1).start()
 
-    get_dma(t % 2, t).wait()
+    @pl.when(t == 0)
+    def _():
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, tail_u8)],
+                              sem.at[0, 1]).wait()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - tail_u8)],
+            scratch_ref.at[0, :, pl.ds(tail_u8, in_len - tail_u8)],
+            sem.at[0, 0]).wait()
+
+    @pl.when(t > 0)
+    def _():
+        body_dma(t % 2, t).wait()
     slot = t % 2
     ot = out_tile // sub_tiles
     sub_in = a_ref.shape[-2]
@@ -207,19 +249,22 @@ def _frontend_demod_kernel(xp_ref, a_ref, prev_ref, fm_ref, misc_ref,
 @functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
                                               "compute_dtype", "sub_tiles",
                                               "fix_scale", "out_dtype"))
-def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
-                               compute_dtype=jnp.float32, sub_tiles=1,
-                               fix_scale=0.0, out_dtype=jnp.float32):
-    c, total = xp.shape
+def _fused_frontend_demod_call(tail, body, a, prev, *, decim, out_tile,
+                               interpret, compute_dtype=jnp.float32,
+                               sub_tiles=1, fix_scale=0.0,
+                               out_dtype=jnp.float32):
+    c, total = body.shape
     ot = out_tile // sub_tiles
     tail_u8 = a.shape[-2] - 2 * decim * ot
     in_len = 2 * decim * out_tile + tail_u8
-    n_out = (total - tail_u8) // (2 * decim)
+    assert 2 * decim * out_tile >= tail_u8, (decim, out_tile, tail_u8)
+    n_out = total // (2 * decim)
     grid = n_out // out_tile
     kernel = functools.partial(_frontend_demod_kernel, in_len=in_len,
                                out_tile=out_tile, decim=decim,
                                compute_dtype=compute_dtype,
-                               sub_tiles=sub_tiles, fix_scale=fix_scale)
+                               sub_tiles=sub_tiles, tail_u8=tail_u8,
+                               fix_scale=fix_scale)
     if compute_dtype != "int8x2":
         a = a.astype(compute_dtype)
     fm, misc = pl.pallas_call(
@@ -228,6 +273,7 @@ def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
         out_shape=(jax.ShapeDtypeStruct((c, n_out), out_dtype),
                    jax.ShapeDtypeStruct((c, LANES), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((c, LANES), lambda t: (0, 0),
@@ -237,28 +283,30 @@ def _fused_frontend_demod_call(xp, a, prev, *, decim, out_tile, interpret,
                    pl.BlockSpec((c, LANES), lambda t: (0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((2, c, in_len), jnp.uint8),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
-    )(xp, a, prev)
+    )(tail, body, a, prev)
     return fm, misc
 
 
 @functools.partial(jax.jit, static_argnames=("decim", "out_tile", "interpret",
                                               "compute_dtype", "sub_tiles",
                                               "fix_scale"))
-def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
+def _fused_frontend_call(tail, body, a, *, decim, out_tile, interpret,
                          compute_dtype=jnp.float32, sub_tiles=1,
                          fix_scale=0.0):
-    c, total = xp.shape
+    c, total = body.shape
     ot = out_tile // sub_tiles
     tail_u8 = a.shape[-2] - 2 * decim * ot
     in_len = 2 * decim * out_tile + tail_u8
-    n_out = (total - tail_u8) // (2 * decim)
+    assert 2 * decim * out_tile >= tail_u8, (decim, out_tile, tail_u8)
+    n_out = total // (2 * decim)
     grid = n_out // out_tile
     kernel = functools.partial(_frontend_kernel, in_len=in_len,
                                out_tile=out_tile, decim=decim,
                                compute_dtype=compute_dtype,
-                               sub_tiles=sub_tiles, fix_scale=fix_scale)
+                               sub_tiles=sub_tiles, tail_u8=tail_u8,
+                               fix_scale=fix_scale)
     if compute_dtype != "int8x2":
         a = a.astype(compute_dtype)
     i_ds, q_ds = pl.pallas_call(
@@ -267,6 +315,7 @@ def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
         out_shape=(jax.ShapeDtypeStruct((c, n_out), jnp.float32),
                    jax.ShapeDtypeStruct((c, n_out), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((c, out_tile), lambda t: (0, t),
@@ -274,9 +323,9 @@ def _fused_frontend_call(xp, a, *, decim, out_tile, interpret,
                    pl.BlockSpec((c, out_tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((2, c, in_len), jnp.uint8),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
-    )(xp, a)
+    )(tail, body, a)
     return i_ds, q_ds
 
 
@@ -338,15 +387,20 @@ class FusedFrontend:
         assert n_out % self.out_tile == 0, (
             f"IF samples per block {n_out} not divisible by tile "
             f"{self.out_tile}")
-        xp = jnp.concatenate([tail, u8_block], axis=-1)
+        # tail and block go to the kernel as separate refs — concatenating
+        # here would copy the whole raw input once more per step
         # Mosaic u8 sublane tiling requires the channel dim to be a multiple
         # of 8; pad small batches with 128-bytes (decode to 0.0)
+        new_tail = u8_block[..., n - self.tail_u8:]
         c_pad = -(-c // 8) * 8
         if c_pad != c:
-            xp = jnp.concatenate(
-                [xp, jnp.full((c_pad - c, xp.shape[-1]), 128, jnp.uint8)],
+            pad = jnp.full((c_pad - c, n), 128, jnp.uint8)
+            u8_block = jnp.concatenate([u8_block, pad], axis=0)
+            tail = jnp.concatenate(
+                [tail, jnp.full((c_pad - c, self.tail_u8), 128, jnp.uint8)],
                 axis=0)
-        i_ds, q_ds = _fused_frontend_call(xp, self._a, decim=self.decim,
+        i_ds, q_ds = _fused_frontend_call(tail, u8_block, self._a,
+                                          decim=self.decim,
                                           out_tile=self.out_tile,
                                           interpret=interpret,
                                           compute_dtype=self.compute_dtype,
@@ -354,7 +408,6 @@ class FusedFrontend:
                                           fix_scale=self.fix_scale)
         if c_pad != c:
             i_ds, q_ds = i_ds[:c], q_ds[:c]
-        new_tail = u8_block[..., n - self.tail_u8:]
         if squeeze:
             i_ds, q_ds, new_tail = i_ds[0], q_ds[0], new_tail[0]
         return i_ds, q_ds, new_tail
@@ -379,21 +432,22 @@ class FusedFrontend:
         assert n_out % self.out_tile == 0, (
             f"IF samples per block {n_out} not divisible by tile "
             f"{self.out_tile}")
-        xp = jnp.concatenate([tail, u8_block], axis=-1)
+        new_tail = u8_block[..., n - self.tail_u8:]
         c_pad = -(-c // 8) * 8
         if c_pad != c:
-            xp = jnp.concatenate(
-                [xp, jnp.full((c_pad - c, xp.shape[-1]), 128, jnp.uint8)],
+            pad = jnp.full((c_pad - c, n), 128, jnp.uint8)
+            u8_block = jnp.concatenate([u8_block, pad], axis=0)
+            tail = jnp.concatenate(
+                [tail, jnp.full((c_pad - c, self.tail_u8), 128, jnp.uint8)],
                 axis=0)
         prev = jnp.zeros((c_pad, LANES), jnp.float32)
         prev = prev.at[:c, 0].set(prev_i).at[:c, 1].set(prev_q)
         fm, misc = _fused_frontend_demod_call(
-            xp, self._a, prev, decim=self.decim, out_tile=self.out_tile,
-            interpret=interpret, compute_dtype=self.compute_dtype,
-            sub_tiles=self.sub_tiles, fix_scale=self.fix_scale,
-            out_dtype=self.out_dtype)
+            tail, u8_block, self._a, prev, decim=self.decim,
+            out_tile=self.out_tile, interpret=interpret,
+            compute_dtype=self.compute_dtype, sub_tiles=self.sub_tiles,
+            fix_scale=self.fix_scale, out_dtype=self.out_dtype)
         fm, misc = fm[:c], misc[:c]
-        new_tail = u8_block[..., n - self.tail_u8:]
         new_prev_i, new_prev_q, power = misc[:, 0], misc[:, 1], misc[:, 2]
         if squeeze:
             fm, new_tail = fm[0], new_tail[0]

@@ -55,27 +55,47 @@ def _band(coeff: np.ndarray, in_rows: int, n_out: int,
     return a
 
 
-def _ifbank_kernel(xp_ref, acp_ref, are_ref, aca_ref, chan_ref, pilot_ref,
-                   rdsch_ref, carr_ref, scratch_ref, sem, *, in_len,
-                   out_tile, ext, compute_dtype, sub_tiles):
+def _ifbank_kernel(tail_ref, body_ref, acp_ref, are_ref, aca_ref, chan_ref,
+                   pilot_ref, rdsch_ref, carr_ref, scratch_ref, sem, *,
+                   in_len, out_tile, ext, compute_dtype, sub_tiles):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     stride = out_tile
 
-    def get_dma(slot, idx):
+    # tail and fm body arrive as separate refs (a caller-side concat would
+    # copy the whole fm stream); only tile 0 reads the tail
+    def body_dma(slot, idx):
         return pltpu.make_async_copy(
-            xp_ref.at[:, pl.ds(idx * stride, in_len)],
-            scratch_ref.at[slot], sem.at[slot])
+            body_ref.at[:, pl.ds(idx * stride - CTX, in_len)],
+            scratch_ref.at[slot], sem.at[slot, 0])
 
     @pl.when(t == 0)
     def _():
-        get_dma(0, 0).start()
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, CTX)],
+                              sem.at[0, 1]).start()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - CTX)],
+            scratch_ref.at[0, :, pl.ds(CTX, in_len - CTX)],
+            sem.at[0, 0]).start()
 
     @pl.when(t + 1 < n_t)
     def _():
-        get_dma((t + 1) % 2, t + 1).start()
+        body_dma((t + 1) % 2, t + 1).start()
 
-    get_dma(t % 2, t).wait()
+    @pl.when(t == 0)
+    def _():
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, CTX)],
+                              sem.at[0, 1]).wait()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - CTX)],
+            scratch_ref.at[0, :, pl.ds(CTX, in_len - CTX)],
+            sem.at[0, 0]).wait()
+
+    @pl.when(t > 0)
+    def _():
+        body_dma(t % 2, t).wait()
     # The band matrices are Toeplitz-shift invariant: sub-tile s reuses the
     # SAME matrices over the window advanced by s*ot samples, so splitting
     # the tile into sub_tiles sub-matmuls cuts the dense-band K dimension
@@ -101,12 +121,12 @@ def _ifbank_kernel(xp_ref, acp_ref, are_ref, aca_ref, chan_ref, pilot_ref,
 @functools.partial(jax.jit, static_argnames=("out_tile", "ext", "interpret",
                                              "compute_dtype", "sub_tiles",
                                              "out_dtype"))
-def _ifbank_call(xp, acp, are, aca, *, out_tile, ext, interpret,
+def _ifbank_call(tail, body, acp, are, aca, *, out_tile, ext, interpret,
                  compute_dtype=jnp.float32, sub_tiles=1,
                  out_dtype=jnp.float32):
-    c, total = xp.shape
+    c, n_out = body.shape
     in_len = out_tile + CTX
-    n_out = total - CTX
+    assert out_tile >= CTX
     grid = n_out // out_tile
     kernel = functools.partial(_ifbank_kernel, in_len=in_len,
                                out_tile=out_tile, ext=ext,
@@ -120,16 +140,17 @@ def _ifbank_call(xp, acp, are, aca, *, out_tile, ext, interpret,
         grid=(grid,),
         out_shape=tuple(jax.ShapeDtypeStruct((c, n_out), out_dtype)
                         for _ in range(4)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(a.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
            for a in (acp, are, aca)],
         out_specs=tuple(pl.BlockSpec((c, out_tile), lambda t: (0, t),
                                      memory_space=pltpu.VMEM)
                         for _ in range(4)),
-        scratch_shapes=[pltpu.VMEM((2, c, in_len), xp.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((2, c, in_len), body.dtype),
+                        pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
-    )(xp, acp, are, aca)
+    )(tail, body, acp, are, aca)
     return outs
 
 
@@ -202,21 +223,22 @@ class FusedIFBank:
         c, n = fm.shape
         assert n % self.out_tile == 0, (
             f"IF block {n} not divisible by tile {self.out_tile}")
-        xp = jnp.concatenate([tail.astype(fm.dtype), fm], axis=-1)
+        tail = tail.astype(fm.dtype)
+        new_tail = fm[..., n - CTX:]
         c_pad = -(-c // 8) * 8
         if c_pad != c:
-            xp = jnp.concatenate(
-                [xp, jnp.zeros((c_pad - c, xp.shape[-1]), xp.dtype)],
-                axis=0)
+            fm = jnp.concatenate(
+                [fm, jnp.zeros((c_pad - c, n), fm.dtype)], axis=0)
+            tail = jnp.concatenate(
+                [tail, jnp.zeros((c_pad - c, CTX), fm.dtype)], axis=0)
         chan, pilot, rdsch, carr = _ifbank_call(
-            xp, self._acp, self._are, self._aca, out_tile=self.out_tile,
-            ext=self.ext, interpret=interpret,
+            tail, fm, self._acp, self._are, self._aca,
+            out_tile=self.out_tile, ext=self.ext, interpret=interpret,
             compute_dtype=self.compute_dtype, sub_tiles=self.sub_tiles,
             out_dtype=self.out_dtype)
         if c_pad != c:
             chan, pilot = chan[:c], pilot[:c]
             rdsch, carr = rdsch[:c], carr[:c]
-        new_tail = fm[..., n - CTX:]
         if squeeze:
             chan, pilot = chan[0], pilot[0]
             rdsch, carr, new_tail = rdsch[0], carr[0], new_tail[0]

@@ -129,10 +129,11 @@ def _largest_divisor_at_most(n: int, cap: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("freq", "fs", "nco_scale", "phase_adjust",
-                                   "norm_bandwidth", "window"))
+                                   "norm_bandwidth", "window", "out_dtype"))
 def pll_feedforward(x: jax.Array, state: PLLState, *, freq: float, fs: float,
                     nco_scale: float = 1.0, phase_adjust: float = 0.0,
-                    norm_bandwidth: float = 0.01, window: int = 256):
+                    norm_bandwidth: float = 0.01, window: int = 256,
+                    out_dtype=jnp.float32):
     """Feedforward carrier recovery — the TPU-native production engine.
 
     The reference loop (src/filter.cpp:136-174) spends 240k strictly
@@ -177,20 +178,28 @@ def pll_feedforward(x: jax.Array, state: PLLState, *, freq: float, fs: float,
     """
     n = x.shape[-1]
     window = _largest_divisor_at_most(n, window)
-    tabs = _ff_tables(n, freq, fs, nco_scale, phase_adjust)
+    tabs = _ff_tables(n, window, freq, fs, nco_scale, phase_adjust)
 
-    fn = partial(_ff_run_1d, n=n, window=window)
+    fn = partial(_ff_run_1d, n=n, window=window, out_dtype=out_dtype)
     for _ in range(x.ndim - 1):
         fn = jax.vmap(fn, in_axes=(0, 0, None))
     return fn(x, state, tabs)
 
 
-def _ff_tables(n: int, freq: float, fs: float, nco_scale: float,
-               phase_adjust: float):
-    """Trace-time f64-exact carrier ramp tables (n static under jit)."""
+def _ff_tables(n: int, window: int, freq: float, fs: float,
+               nco_scale: float, phase_adjust: float):
+    """Trace-time f64-exact carrier ramp tables (n static under jit).
+
+    Shaped (nc, window) so every synthesis step stays 2-D: the round-3
+    flat-(n,) formulation forced a reshape between the per-window
+    broadcasts and the final cosine, which broke XLA's fusion and
+    materialized two full-block (nc, window)-broadcast temporaries plus
+    layout copies (measured ~25% of the stereo step in the round-4
+    profile)."""
     wmod_f = _wrap_modulus(nco_scale)
     w0_f64 = 2.0 * np.pi * (float(freq) / float(fs))
-    ramp = (w0_f64 * np.arange(n, dtype=np.float64)) % wmod_f
+    ramp = ((w0_f64 * np.arange(n, dtype=np.float64)) % wmod_f
+            ).reshape(n // window, window)
     return dict(
         cos_ramp=jnp.asarray(np.cos(ramp), jnp.float32),
         sin_ramp=jnp.asarray(np.sin(ramp), jnp.float32),
@@ -201,19 +210,25 @@ def _ff_tables(n: int, freq: float, fs: float, nco_scale: float,
         adj=jnp.float32(phase_adjust))
 
 
-def _ff_run_1d(x1, st, tabs, *, n: int, window: int):
-    """Feedforward engine body on one 1-D block (see pll_feedforward)."""
+def _ff_run_1d(x1, st, tabs, *, n: int, window: int,
+               out_dtype=jnp.float32):
+    """Feedforward engine body on one 1-D block (see pll_feedforward).
+
+    Every full-rate tensor stays (nc, window): the broadcasts of the
+    per-window phase/slope fold into the final cosine fusion, and only the
+    finished nco is reshaped back to (n,) (free, row-major)."""
     nc = n // window
     two_pi = jnp.float32(2.0 * np.pi)
     # window-center offsets for the synthesis interpolation
     rel = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
     r0 = st.trig_offset
+    x2 = x1.reshape(nc, window).astype(jnp.float32)
     # MIX: z = x * e^{-j(ramp + r0)}
     cr0, sr0 = jnp.cos(r0), jnp.sin(r0)
     mc = tabs["cos_ramp"] * cr0 - tabs["sin_ramp"] * sr0
     ms = tabs["sin_ramp"] * cr0 + tabs["cos_ramp"] * sr0
-    zr = (x1 * mc).reshape(nc, window).mean(axis=-1)
-    zi = (-x1 * ms).reshape(nc, window).mean(axis=-1)
+    zr = (x2 * mc).mean(axis=-1)
+    zi = (-x2 * ms).mean(axis=-1)
     # ESTIMATE + UNWRAP
     phi_hat = jnp.arctan2(zi, zr)                        # (nc,)
     prev = jnp.concatenate([st.phase_acc[None], phi_hat[:-1]])
@@ -222,10 +237,10 @@ def _ff_run_1d(x1, st, tabs, *, n: int, window: int):
     phi_c = st.phase_acc + jnp.cumsum(d)                 # continuous
     # SYNTHESIZE: phi(i) = phi_c[c] + slope_c * (i - center_c)
     slope = d / jnp.float32(window)
-    phi_full = (phi_c[:, None] + slope[:, None] * rel[None, :]
-                ).reshape(n)
-    theta = tabs["ramp_mod"] + r0 + phi_full
-    nco = jnp.cos(theta * tabs["scale"] + tabs["adj"])
+    theta = (tabs["ramp_mod"] + (r0 + phi_c)[:, None]
+             + slope[:, None] * rel[None, :])            # (nc, window)
+    nco = jnp.cos(theta * tabs["scale"] + tabs["adj"]
+                  ).astype(out_dtype).reshape(n)
     phi_last = jnp.mod(phi_c[-1], tabs["wmod"])
     new = PLLState(integrator=slope[-1], phase_acc=phi_last,
                    feedback_i=jnp.cos(phi_last),
@@ -234,7 +249,8 @@ def _ff_run_1d(x1, st, tabs, *, n: int, window: int):
     return nco, new
 
 
-def pll_feedforward_multi(xs, states, *, params, window: int = 256):
+def pll_feedforward_multi(xs, states, *, params, window: int = 256,
+                          out_dtype=jnp.float32):
     """N feedforward carrier engines in ONE fused program.
 
     The stereo pilot (19 kHz, scale 2) and RDS carrier (114 kHz, scale
@@ -258,9 +274,10 @@ def pll_feedforward_multi(xs, states, *, params, window: int = 256):
     st = jax.tree.map(lambda *a: jnp.stack(a), *states)  # (E, ...)
     tabs = jax.tree.map(
         lambda *a: jnp.stack(a),
-        *[_ff_tables(n, f, fs, sc, adj) for f, fs, sc, adj in params])
+        *[_ff_tables(n, window, f, fs, sc, adj)
+          for f, fs, sc, adj in params])
 
-    fn = partial(_ff_run_1d, n=n, window=window)
+    fn = partial(_ff_run_1d, n=n, window=window, out_dtype=out_dtype)
     for _ in range(x.ndim - 2):
         fn = jax.vmap(fn, in_axes=(0, 0, None))          # channel dims
     fn = jax.vmap(fn)                                    # engine axis
