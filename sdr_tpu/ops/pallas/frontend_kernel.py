@@ -93,9 +93,12 @@ def _frontend_kernel(tail_ref, body_ref, a_ref, i_ref, q_ref, scratch_ref,
     # step); only tile 0 touches the tail, via a second small DMA.
     def body_dma(slot, idx):
         # window for tile idx >= 1 starts at idx*stride - tail_u8 in body
-        # coordinates (assert stride >= tail_u8 holds: see caller)
+        # coordinates (assert stride >= tail_u8 holds: see caller); the
+        # offset is written as an explicit multiple of 128 so Mosaic can
+        # prove the lane-tiling divisibility of the HBM slice
+        off = (idx * (stride // 128) - tail_u8 // 128) * 128
         return pltpu.make_async_copy(
-            body_ref.at[:, pl.ds(idx * stride - tail_u8, in_len)],
+            body_ref.at[:, pl.ds(off, in_len)],
             scratch_ref.at[slot], sem.at[slot, 0])
 
     @pl.when(t == 0)
@@ -182,8 +185,9 @@ def _frontend_demod_kernel(tail_ref, body_ref, a_ref, prev_ref, fm_ref,
     stride = 2 * decim * out_tile
 
     def body_dma(slot, idx):
+        off = (idx * (stride // 128) - tail_u8 // 128) * 128
         return pltpu.make_async_copy(
-            body_ref.at[:, pl.ds(idx * stride - tail_u8, in_len)],
+            body_ref.at[:, pl.ds(off, in_len)],
             scratch_ref.at[slot], sem.at[slot, 0])
 
     @pl.when(t == 0)
@@ -258,6 +262,7 @@ def _fused_frontend_demod_call(tail, body, a, prev, *, decim, out_tile,
     tail_u8 = a.shape[-2] - 2 * decim * ot
     in_len = 2 * decim * out_tile + tail_u8
     assert 2 * decim * out_tile >= tail_u8, (decim, out_tile, tail_u8)
+    assert (2 * decim * out_tile) % 128 == 0 and tail_u8 % 128 == 0
     n_out = total // (2 * decim)
     grid = n_out // out_tile
     kernel = functools.partial(_frontend_demod_kernel, in_len=in_len,
@@ -300,6 +305,7 @@ def _fused_frontend_call(tail, body, a, *, decim, out_tile, interpret,
     tail_u8 = a.shape[-2] - 2 * decim * ot
     in_len = 2 * decim * out_tile + tail_u8
     assert 2 * decim * out_tile >= tail_u8, (decim, out_tile, tail_u8)
+    assert (2 * decim * out_tile) % 128 == 0 and tail_u8 % 128 == 0
     n_out = total // (2 * decim)
     grid = n_out // out_tile
     kernel = functools.partial(_frontend_kernel, in_len=in_len,

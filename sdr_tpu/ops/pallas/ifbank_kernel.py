@@ -65,8 +65,11 @@ def _ifbank_kernel(tail_ref, body_ref, acp_ref, are_ref, aca_ref, chan_ref,
     # tail and fm body arrive as separate refs (a caller-side concat would
     # copy the whole fm stream); only tile 0 reads the tail
     def body_dma(slot, idx):
+        # offset as an explicit multiple of 128 for Mosaic's divisibility
+        # prover (stride % 128 == 0 asserted by the caller; CTX = 128)
+        off = (idx * (stride // 128) - CTX // 128) * 128
         return pltpu.make_async_copy(
-            body_ref.at[:, pl.ds(idx * stride - CTX, in_len)],
+            body_ref.at[:, pl.ds(off, in_len)],
             scratch_ref.at[slot], sem.at[slot, 0])
 
     @pl.when(t == 0)
@@ -126,7 +129,7 @@ def _ifbank_call(tail, body, acp, are, aca, *, out_tile, ext, interpret,
                  out_dtype=jnp.float32):
     c, n_out = body.shape
     in_len = out_tile + CTX
-    assert out_tile >= CTX
+    assert out_tile >= CTX and out_tile % 128 == 0
     grid = n_out // out_tile
     kernel = functools.partial(_ifbank_kernel, in_len=in_len,
                                out_tile=out_tile, ext=ext,
