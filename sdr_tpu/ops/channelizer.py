@@ -180,8 +180,12 @@ class WidebandChannelizer:
         n = body.shape[-1] // 2
         n_out = n // self.decim
         # the GEMM time-tile doubles as the phasor factor c, so each tile's
-        # residual rotation is one scalar-vector complex product per station
-        tile = _largest_divisor_at_most(n_out, 4096)
+        # residual rotation is one scalar-vector complex product per station.
+        # Bigger tiles = fewer lax.map iterations (a sequential TPU
+        # while-loop whose per-iteration overhead, not the conv FLOPs,
+        # bounded the round-3 engine); 16384 keeps the per-tile im2col a
+        # few MB and the factored base table bounded
+        tile = _largest_divisor_at_most(n_out, 16384)
         row, base, adv = self._phase_tables(n_out, self.decim, c=tile)
         return _channelize_mfb(self._bmat, row, base, adv, self.decim,
                                self.state_len, self._n_shift, tile,
@@ -290,14 +294,20 @@ def _channelize_mfb(bmat, row, base, adv, decim, state_len, n_shift, tile,
     pr = jnp.cos(state["phase"])[:, None]
     pi_ = jnp.sin(state["phase"])[:, None]
     (rr, ri), (br, bi) = row, base                      # (K, A), (K, tile)
+    bmt = bm.T                                          # (2K, 2D*n_shift)
+    xrt = xr.T                                          # (2D, rows)
 
     def tile_fn(a):
-        xt = jax.lax.dynamic_slice(xr, (a * tile, jnp.int32(0)),
-                                   (tile + n_shift, two_d))
-        xim = jnp.concatenate([xt[s:s + tile] for s in range(n_shift)],
-                              axis=1)                  # (tile, 2D*n_shift)
-        out = jnp.dot(xim, bm, preferred_element_type=jnp.float32)
-        c_r, c_i = out.T[0::2], out.T[1::2]            # (K, tile)
+        # station-major GEMM: bm.T @ xim.T gives (2K, tile) directly, so
+        # the per-tile (tile, 2K) -> (2K, tile) strided transpose of the
+        # round-3 formulation never happens; only the tiny (rows, 2D)
+        # input transpose is paid, once, outside the loop
+        xt = jax.lax.dynamic_slice(xrt, (jnp.int32(0), a * tile),
+                                   (two_d, tile + n_shift))
+        xim_t = jnp.concatenate([xt[:, s:s + tile] for s in range(n_shift)],
+                                axis=0)                # (2D*n_shift, tile)
+        out = jnp.dot(bmt, xim_t, preferred_element_type=jnp.float32)
+        c_r, c_i = out[0::2], out[1::2]                # (K, tile)
         # tile phasor: (phase ⊕ row[a]) ⊗ base — one complex scalar/station
         ra = jax.lax.dynamic_slice_in_dim(rr, a, 1, axis=1)  # (K, 1)
         ia = jax.lax.dynamic_slice_in_dim(ri, a, 1, axis=1)
