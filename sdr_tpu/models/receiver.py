@@ -267,20 +267,34 @@ class Receiver:
         # XLA's conv lowering for these 1-input-channel shapes never
         # reaches the MXU (ops/pallas/ifbank_kernel.py)
         self._ifbank = None
+        self._ifbank_mix = False
         if fused_ifbank and stereo and rds and filter_engine == "direct":
-            from sdr_tpu.ops.pallas.ifbank_kernel import FusedIFBank
+            from sdr_tpu.ops.pallas.ifbank_kernel import (FusedIFBank,
+                                                          FusedIFBankMix)
             dt = jnp.bfloat16 if fused_ifbank == "bf16" else jnp.float32
             mat = (jnp.bfloat16 if (fused_ifbank == "bf16"
                                     and conv_dtype == "bf16") else None)
-            self._ifbank = FusedIFBank(
+            bank_coeffs = (
                 firdes.bandpass(if_fs, cfg.stereo_lo, cfg.stereo_hi,
                                 cfg.bp_taps),
                 firdes.bandpass(if_fs, cfg.pilot_lo, cfg.pilot_hi,
                                 cfg.bp_taps),
                 firdes.bandpass(if_fs, cfg.rds_lo, cfg.rds_hi, cfg.bp_taps),
                 firdes.bandpass(if_fs, cfg.rds_carrier_lo,
-                                cfg.rds_carrier_hi, cfg.bp_taps),
-                compute_dtype=dt, out_dtype=mat)
+                                cfg.rds_carrier_hi, cfg.bp_taps))
+            if pll_impl == "ff" and not compat_pll:
+                # feedforward chain: the kernel also computes the carrier
+                # estimators' per-window MIX sums, so the pilot and the
+                # squared-carrier streams never reach HBM
+                self._ifbank = FusedIFBankMix(
+                    *bank_coeffs, window=pll_window,
+                    pilot_freq=float(cfg.pilot_freq),
+                    rds_carrier_freq=float(cfg.rds_carrier_freq),
+                    fs=float(if_fs), compute_dtype=dt, out_dtype=mat)
+                self._ifbank_mix = True
+            else:
+                self._ifbank = FusedIFBank(
+                    *bank_coeffs, compute_dtype=dt, out_dtype=mat)
         if rds:
             u, d = cfg.rds_resample
             self.rds_u, self.rds_d = u, d
@@ -510,7 +524,21 @@ class Receiver:
         if self.stereo:
             st = state.stereo
             # L-R DSB extraction + pilot isolation (project.cpp:162-165)
-            if self._ifbank is not None:
+            mix_sums = None
+            if self._ifbank_mix:
+                # ff chain: kernel emits the carrier estimators' per-window
+                # MIX sums instead of the pilot/carrier streams
+                with jax.named_scope("ifbank_fused_mix"):
+                    (channel, rds_channel, zp_sums, zr_sums,
+                     channel_tail) = self._ifbank.mix_call(
+                        fm_demod, st.channel_tail,
+                        interpret=jax.default_backend() != "tpu")
+                mix_sums = (zp_sums, zr_sums)
+                pilot = rds_carrier_in = None
+                carrier_tail = st.carrier_tail
+                rds_channel_tail = state.rds.channel_tail  # empty
+                rds_carrier_tail = state.rds.carrier_tail  # empty
+            elif self._ifbank is not None:
                 with jax.named_scope("ifbank_fused"):
                     (channel, pilot, rds_channel, rds_carrier_in,
                      channel_tail) = self._ifbank(
@@ -540,14 +568,31 @@ class Receiver:
                 # channel extraction 54-60 kHz (reference src/project.cpp:245)
                 rds_channel, rds_channel_tail = self.rds_channel_filter(
                     fm_demod, rs.channel_tail)
-            if rds_carrier_in is None:
+            if rds_carrier_in is None and not self._ifbank_mix:
                 # squaring nonlinearity -> 114 kHz line (project.cpp:248-252)
                 squared = rds_channel * rds_channel
                 rds_carrier_in, rds_carrier_tail = self.rds_carrier_filter(
                     squared, rs.carrier_tail)
 
         # --- carrier recovery: the two PLLs batch into one kernel launch
-        if self._joint_pll:
+        if self.stereo and self.rds and self._ifbank_mix:
+            with jax.named_scope("carrier_ff_from_sums"):
+                from sdr_tpu.ops.pll import pll_feedforward_from_sums
+                n_if = fm_demod.shape[-1]
+                odt = (jnp.bfloat16 if (self._mat_bf16
+                                        and self._ifbank is not None)
+                       else jnp.float32)
+                (zpr, zpi), (zrr, zri) = mix_sums
+                nco_s, pll_s = pll_feedforward_from_sums(
+                    zpr, zpi, st.pll, freq=float(cfg.pilot_freq),
+                    fs=float(cfg.if_fs), n=n_if, nco_scale=2.0,
+                    phase_adjust=float(self.stereo_phase_adjust),
+                    window=self._ifbank.window, out_dtype=odt)
+                nco_r, pll_r = pll_feedforward_from_sums(
+                    zrr, zri, rs.pll, freq=float(cfg.rds_carrier_freq),
+                    fs=float(cfg.if_fs), n=n_if, nco_scale=0.5,
+                    window=self._ifbank.window, out_dtype=odt)
+        elif self._joint_pll:
             with jax.named_scope("pll_joint"):
                 from sdr_tpu.ops.pallas.pll_kernel import (
                     pll_pallas_chunked_multi)

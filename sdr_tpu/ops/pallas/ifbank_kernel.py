@@ -246,3 +246,213 @@ class FusedIFBank:
             chan, pilot = chan[0], pilot[0]
             rdsch, carr, new_tail = rdsch[0], carr[0], new_tail[0]
         return chan, pilot, rdsch, carr, new_tail
+
+
+def _ifbank_mix_kernel(tail_ref, body_ref, acp_ref, are_ref, aca_ref,
+                       rcp_ref, rsp_ref, rcr_ref, rsr_ref,
+                       chan_ref, rdsch_ref, zpr_ref, zpi_ref, zrr_ref,
+                       zri_ref, scratch_ref, sem, *, in_len, out_tile, ext,
+                       compute_dtype, sub_tiles, window):
+    """IF bank + in-kernel feedforward MIX: the pilot and the squared
+    RDS carrier never reach HBM.
+
+    The feedforward carrier estimator only needs per-window coherent sums
+    Z_c = sum x_i e^{-j ramp_i} of its input (ops/pll.py _ff_finish_1d) —
+    so instead of materializing pilot and carrier_in (two full-rate
+    streams written + re-read per step), this kernel dots each computed
+    sub-tile against the ramp-table slice and accumulates the (C, n_win)
+    sums as small outputs.  The stereo channel and RDS channel streams
+    (actually consumed at full rate downstream) are emitted as before.
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    stride = out_tile
+
+    def body_dma(slot, idx):
+        off = (idx * (stride // 128) - CTX // 128) * 128
+        return pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(off, in_len)],
+            scratch_ref.at[slot], sem.at[slot, 0])
+
+    @pl.when(t == 0)
+    def _():
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, CTX)],
+                              sem.at[0, 1]).start()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - CTX)],
+            scratch_ref.at[0, :, pl.ds(CTX, in_len - CTX)],
+            sem.at[0, 0]).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        body_dma((t + 1) % 2, t + 1).start()
+
+    @pl.when(t == 0)
+    def _():
+        pltpu.make_async_copy(tail_ref.at[:, :],
+                              scratch_ref.at[0, :, pl.ds(0, CTX)],
+                              sem.at[0, 1]).wait()
+        pltpu.make_async_copy(
+            body_ref.at[:, pl.ds(0, in_len - CTX)],
+            scratch_ref.at[0, :, pl.ds(CTX, in_len - CTX)],
+            sem.at[0, 0]).wait()
+
+    @pl.when(t > 0)
+    def _():
+        body_dma(t % 2, t).wait()
+
+    ot = out_tile // sub_tiles
+    wpt = out_tile // window            # windows per tile
+    subs_per_win = window // ot
+    parts_r_p = [[] for _ in range(wpt)]
+    parts_i_p = [[] for _ in range(wpt)]
+    parts_r_r = [[] for _ in range(wpt)]
+    parts_i_r = [[] for _ in range(wpt)]
+    for s in range(sub_tiles):
+        w = scratch_ref[t % 2, :, s * ot:s * ot + ot + CTX].astype(
+            compute_dtype)
+        cp = jnp.dot(w, acp_ref[:, :], preferred_element_type=jnp.float32)
+        odt = chan_ref.dtype
+        chan_ref[:, s * ot:(s + 1) * ot] = cp[:, :ot].astype(odt)
+        pilot_sub = cp[:, ot:]                          # (C, ot) f32
+        re = jnp.dot(w, are_ref[:, :], preferred_element_type=jnp.float32)
+        rdsch_ref[:, s * ot:(s + 1) * ot] = re[:, ext:].astype(odt)
+        sq = (re * re).astype(compute_dtype)
+        carr_sub = jnp.dot(sq, aca_ref[:, :],
+                           preferred_element_type=jnp.float32)
+        sl = pl.ds(s * ot, ot)
+        wi = s // subs_per_win
+        parts_r_p[wi].append(jnp.sum(pilot_sub * rcp_ref[0, sl],
+                                     axis=1, keepdims=True))
+        parts_i_p[wi].append(jnp.sum(pilot_sub * (-rsp_ref[0, sl]),
+                                     axis=1, keepdims=True))
+        parts_r_r[wi].append(jnp.sum(carr_sub * rcr_ref[0, sl],
+                                     axis=1, keepdims=True))
+        parts_i_r[wi].append(jnp.sum(carr_sub * (-rsr_ref[0, sl]),
+                                     axis=1, keepdims=True))
+    # z outputs are (n_tiles*8, C) row-major: each tile owns an (8, C)
+    # block (sublane 8 / lane C satisfies Mosaic's block rules; dynamic
+    # single-COLUMN stores do not lower) with rows 0..wpt used — the
+    # caller slices and transposes the tiny result
+    for wi in range(wpt):
+        zpr_ref[wi, :] = sum(parts_r_p[wi])[:, 0]
+        zpi_ref[wi, :] = sum(parts_i_p[wi])[:, 0]
+        zrr_ref[wi, :] = sum(parts_r_r[wi])[:, 0]
+        zri_ref[wi, :] = sum(parts_i_r[wi])[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "ext", "interpret",
+                                             "compute_dtype", "sub_tiles",
+                                             "out_dtype", "window"))
+def _ifbank_mix_call(tail, body, acp, are, aca, rcp, rsp, rcr, rsr, *,
+                     out_tile, ext, interpret, compute_dtype=jnp.float32,
+                     sub_tiles=1, out_dtype=jnp.float32, window=256):
+    c, n_out = body.shape
+    in_len = out_tile + CTX
+    assert out_tile >= CTX and out_tile % 128 == 0
+    assert out_tile % window == 0 and window % (out_tile // sub_tiles) == 0
+    grid = n_out // out_tile
+    n_win = n_out // window
+    wpt = out_tile // window
+    kernel = functools.partial(_ifbank_mix_kernel, in_len=in_len,
+                               out_tile=out_tile, ext=ext,
+                               compute_dtype=compute_dtype,
+                               sub_tiles=sub_tiles, window=window)
+    acp = acp.astype(compute_dtype)
+    are = are.astype(compute_dtype)
+    aca = aca.astype(compute_dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(jax.ShapeDtypeStruct((c, n_out), out_dtype),
+                   jax.ShapeDtypeStruct((c, n_out), out_dtype))
+        + tuple(jax.ShapeDtypeStruct((grid * 8, c), jnp.float32)
+                for _ in range(4)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(a.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+           for a in (acp, are, aca)]
+        + [pl.BlockSpec((1, out_tile), lambda t: (0, t),
+                        memory_space=pltpu.VMEM) for _ in range(4)],
+        out_specs=(pl.BlockSpec((c, out_tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((c, out_tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM))
+        + tuple(pl.BlockSpec((8, c), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM) for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((2, c, in_len), body.dtype),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        interpret=interpret,
+    )(tail, body, acp, are, aca, rcp, rsp, rcr, rsr)
+    chan, rdsch, zpr8, zpi8, zrr8, zri8 = outs
+
+    def unpack(z8):
+        # (grid*8, c) -> rows 0..wpt of each tile -> (c, n_win)
+        return z8.reshape(grid, 8, c)[:, :wpt].reshape(n_win, c).T
+    return (chan, rdsch, unpack(zpr8), unpack(zpi8), unpack(zrr8),
+            unpack(zri8))
+
+
+class FusedIFBankMix(FusedIFBank):
+    """FusedIFBank variant for the feedforward-carrier chain: emits the
+    stereo/RDS channel streams plus per-window coherent MIX sums of the
+    pilot and the recovered-carrier input — those two streams never reach
+    HBM.  Pair with ops/pll.pll_feedforward_from_sums.
+    """
+
+    def __init__(self, *coeffs, window: int = 256, pilot_freq: float,
+                 rds_carrier_freq: float, fs: float, **kw):
+        super().__init__(*coeffs, **kw)
+        self.window = int(window)
+        self.pilot_freq = float(pilot_freq)
+        self.rds_carrier_freq = float(rds_carrier_freq)
+        self.fs = float(fs)
+        self._ramp_cache: dict[int, tuple] = {}
+
+    def _ramps(self, n_out: int):
+        """Flat trace-time f64-exact ramp tables matching ops/pll._ff_tables
+        for each engine (same wrap modulus, so the finisher's synthesis
+        tables line up exactly)."""
+        if n_out not in self._ramp_cache:
+            from sdr_tpu.ops.pll import _wrap_modulus
+            tabs = []
+            for freq, scale in ((self.pilot_freq, 2.0),
+                                (self.rds_carrier_freq, 0.5)):
+                wmod = _wrap_modulus(scale)
+                ramp = (2.0 * np.pi * (freq / self.fs)
+                        * np.arange(n_out, dtype=np.float64)) % wmod
+                tabs.append((jnp.asarray(np.cos(ramp), jnp.float32)[None],
+                             jnp.asarray(np.sin(ramp), jnp.float32)[None]))
+            self._ramp_cache[n_out] = tuple(tabs)
+        return self._ramp_cache[n_out]
+
+    def mix_call(self, fm: jax.Array, tail: jax.Array,
+                 interpret: bool = False):
+        squeeze = fm.ndim == 1
+        if squeeze:
+            fm = fm[None]
+            tail = tail[None]
+        c, n = fm.shape
+        assert n % self.out_tile == 0 and n % self.window == 0, (n,)
+        (rcp, rsp), (rcr, rsr) = self._ramps(n)
+        tail = tail.astype(fm.dtype)
+        new_tail = fm[..., n - CTX:]
+        c_pad = -(-c // 8) * 8
+        if c_pad != c:
+            fm = jnp.concatenate(
+                [fm, jnp.zeros((c_pad - c, n), fm.dtype)], axis=0)
+            tail = jnp.concatenate(
+                [tail, jnp.zeros((c_pad - c, CTX), fm.dtype)], axis=0)
+        chan, rdsch, zpr, zpi, zrr, zri = _ifbank_mix_call(
+            tail, fm, self._acp, self._are, self._aca, rcp, rsp, rcr, rsr,
+            out_tile=self.out_tile, ext=self.ext, interpret=interpret,
+            compute_dtype=self.compute_dtype, sub_tiles=self.sub_tiles,
+            out_dtype=self.out_dtype, window=self.window)
+        if c_pad != c:
+            chan, rdsch = chan[:c], rdsch[:c]
+            zpr, zpi, zrr, zri = zpr[:c], zpi[:c], zrr[:c], zri[:c]
+        if squeeze:
+            chan, rdsch, new_tail = chan[0], rdsch[0], new_tail[0]
+            zpr, zpi, zrr, zri = zpr[0], zpi[0], zrr[0], zri[0]
+        return chan, rdsch, (zpr, zpi), (zrr, zri), new_tail

@@ -210,32 +210,29 @@ def _ff_tables(n: int, window: int, freq: float, fs: float,
         adj=jnp.float32(phase_adjust))
 
 
-def _ff_run_1d(x1, st, tabs, *, n: int, window: int,
-               out_dtype=jnp.float32):
-    """Feedforward engine body on one 1-D block (see pll_feedforward).
+def _ff_finish_1d(zr, zi, st, tabs, *, n: int, window: int,
+                 out_dtype=jnp.float32):
+    """ESTIMATE + UNWRAP + SYNTHESIZE from per-window coherent sums.
 
-    Every full-rate tensor stays (nc, window): the broadcasts of the
-    per-window phase/slope fold into the final cosine fusion, and only the
-    finished nco is reshaped back to (n,) (free, row-major)."""
-    nc = n // window
+    zr/zi are Z_c = sum_{i in window c} x_i e^{-j ramp_i} (any positive
+    scale — atan2 is scale-invariant, so sums and means are equivalent),
+    WITHOUT the block's carried start rotation r0: it is applied here as
+    one complex rotation per window.  Shared tail of _ff_run_1d; also the
+    consumer of in-kernel mix sums (ops/pallas/ifbank_kernel.py emit_mix),
+    where the pilot / RDS-carrier streams never reach HBM.
+    """
     two_pi = jnp.float32(2.0 * np.pi)
-    # window-center offsets for the synthesis interpolation
     rel = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
     r0 = st.trig_offset
-    x2 = x1.reshape(nc, window).astype(jnp.float32)
-    # MIX: z = x * e^{-j(ramp + r0)}
     cr0, sr0 = jnp.cos(r0), jnp.sin(r0)
-    mc = tabs["cos_ramp"] * cr0 - tabs["sin_ramp"] * sr0
-    ms = tabs["sin_ramp"] * cr0 + tabs["cos_ramp"] * sr0
-    zr = (x2 * mc).mean(axis=-1)
-    zi = (-x2 * ms).mean(axis=-1)
-    # ESTIMATE + UNWRAP
-    phi_hat = jnp.arctan2(zi, zr)                        # (nc,)
+    # z' = e^{-j r0} (zr + j zi)
+    zr_r = zr * cr0 + zi * sr0
+    zi_r = zi * cr0 - zr * sr0
+    phi_hat = jnp.arctan2(zi_r, zr_r)                    # (nc,)
     prev = jnp.concatenate([st.phase_acc[None], phi_hat[:-1]])
     d = phi_hat - prev
     d = d - two_pi * jnp.round(d / two_pi)               # (-pi, pi]
     phi_c = st.phase_acc + jnp.cumsum(d)                 # continuous
-    # SYNTHESIZE: phi(i) = phi_c[c] + slope_c * (i - center_c)
     slope = d / jnp.float32(window)
     theta = (tabs["ramp_mod"] + (r0 + phi_c)[:, None]
              + slope[:, None] * rel[None, :])            # (nc, window)
@@ -247,6 +244,24 @@ def _ff_run_1d(x1, st, tabs, *, n: int, window: int,
                    feedback_q=jnp.sin(phi_last),
                    trig_offset=jnp.mod(r0 + tabs["r_adv"], tabs["wmod"]))
     return nco, new
+
+
+def _ff_run_1d(x1, st, tabs, *, n: int, window: int,
+               out_dtype=jnp.float32):
+    """Feedforward engine body on one 1-D block (see pll_feedforward).
+
+    Every full-rate tensor stays (nc, window): the broadcasts of the
+    per-window phase/slope fold into the final cosine fusion, and only the
+    finished nco is reshaped back to (n,) (free, row-major)."""
+    nc = n // window
+    x2 = x1.reshape(nc, window).astype(jnp.float32)
+    # MIX against the raw ramp only — the carried start rotation r0 is one
+    # complex rotation of the per-window sums, applied in _ff_finish_1d
+    # (linearity of the sum); the ramp tables are channel-shared
+    zr = (x2 * tabs["cos_ramp"]).mean(axis=-1)
+    zi = (-x2 * tabs["sin_ramp"]).mean(axis=-1)
+    return _ff_finish_1d(zr, zi, st, tabs, n=n, window=window,
+                         out_dtype=out_dtype)
 
 
 def pll_feedforward_multi(xs, states, *, params, window: int = 256,
@@ -375,3 +390,26 @@ def pll_chunked(x: jax.Array, state: PLLState, *, freq: float, fs: float,
     for _ in range(x.ndim - 1):
         fn = jax.vmap(fn)
     return fn(x, state)
+
+
+@partial(jax.jit, static_argnames=("freq", "fs", "nco_scale", "phase_adjust",
+                                   "window", "n", "out_dtype"))
+def pll_feedforward_from_sums(zr: jax.Array, zi: jax.Array, state: PLLState,
+                              *, freq: float, fs: float, n: int,
+                              nco_scale: float = 1.0,
+                              phase_adjust: float = 0.0, window: int = 256,
+                              out_dtype=jnp.float32):
+    """Feedforward carrier recovery from precomputed per-window MIX sums.
+
+    zr/zi (..., n//window) are sum_{i in window} x_i e^{-j ramp_i} at any
+    positive scale (atan2 is scale-invariant) — as produced by the fused
+    IF-bank's in-kernel mix (ops/pallas/ifbank_kernel.py FusedIFBankMix),
+    where the pilot / RDS-carrier streams never reach HBM.  Returns
+    (nco (..., n), new_state) — the same estimate/unwrap/synthesize tail
+    as pll_feedforward.
+    """
+    tabs = _ff_tables(n, window, freq, fs, nco_scale, phase_adjust)
+    fn = partial(_ff_finish_1d, n=n, window=window, out_dtype=out_dtype)
+    for _ in range(zr.ndim - 1):
+        fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
+    return fn(zr, zi, state, tabs)
