@@ -63,7 +63,10 @@ class Receiver:
            sequential scan, the fastest engine); 'auto' = scan.
       demod: 'discriminator' (C++ FMDemod) | 'arctan' (Python model).
       fused_frontend: False | True/'f32' (bit-identical fused Pallas u8
-           channelizer) | 'bf16' (2x throughput, ~53 dB channelizer SNR).
+           channelizer) | 'bf16' (throughput profile, ~53 dB channelizer
+           SNR) | 'int8x2' (exact-integer: two int8 coefficient limbs of
+           15-bit fixed point, int32 accumulation — BIT-exact under any
+           tiling at the int8-MXU rate; ~90 dB coefficients).
       fuse_demod: with fused_frontend and the discriminator demod, fold
            the FM discriminator into the front-end kernel so decimated I/Q
            never reach HBM (fm_demod bit-identical; the RSSI side output
@@ -74,6 +77,13 @@ class Receiver:
            FIRs (stereo channel + pilot + RDS channel BPFs, squaring,
            carrier BPF) as banded MXU matmuls in one Pallas VMEM pass
            (ops/pallas/ifbank_kernel.py); stereo+rds+direct engine only.
+           With pll_impl='ff' the kernel also computes the carrier
+           estimators' per-window MIX sums in-kernel (FusedIFBankMix), so
+           the pilot / squared-carrier streams never reach HBM.
+      conv_engine: 'conv' (XLA conv_general_dilated) | 'tiled' (tiled
+           banded GEMM, ops/banded.py — MXU lane-axis outputs for the
+           resampling FIR stages XLA's conv lowering leaves off the MXU;
+           float-tolerance equivalent, the fast profile).
       filter_engine: 'direct' (polyphase conv) | 'fft' (overlap-save,
            incl. the U>1 rational stages of modes 2/3 via spectral
            replication) — the two interchangeable convolution engines.

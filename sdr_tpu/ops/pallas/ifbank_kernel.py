@@ -24,6 +24,14 @@ casts windows + bands (f32 accumulation, ~45-50 dB per-conv SNR).
 
 Bit-consistency vs the XLA MultiFIR path is to reduction-order (~1 ULP);
 tested in tests/test_pallas.py.
+
+Round-4 additions: sub-tiled band matmuls (the Toeplitz-shared matrices
+ride shifted windows, cutting the dense-band K ~sub_tiles x), the carried
+tail as its OWN DMA ref (a caller-side concat would copy the whole fm
+stream), out_dtype=bf16 materialization, and FusedIFBankMix — the
+feedforward-carrier variant that accumulates the estimators' per-window
+MIX sums in-kernel so the pilot / squared-carrier streams never reach
+HBM (pair with ops/pll.pll_feedforward_from_sums).
 """
 
 from __future__ import annotations
