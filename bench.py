@@ -108,10 +108,16 @@ def main() -> int:
     # headline: mono chain, 128 simultaneous stations, fused bf16 Pallas
     # front-end (exact u8 decode; ~53 dB channelizer SNR from coefficient
     # rounding — transparent at FM demod's ~25 dB distortion floor).
+    # fe_out_tile=1024/sub_tiles=16: same sub-matmul shapes as the
+    # low-latency default (128/2) but 8x fewer grid steps — the
+    # throughput configuration (grid-iteration overhead dominated the fe
+    # at fine tiles; fine tiles remain the default because the
+    # low-latency bps=1 block is only 640 IF samples).
     # 128ch/50-block steps is the measured utilization sweet spot on v5e.
     # Median of 5 timed reps with min..max spread (VERDICT r2 weak item 1:
     # the quoted headline must carry its variance).
-    msps, (lo, hi) = _bench_scan(Receiver(0, fused_frontend="bf16"),
+    msps, (lo, hi) = _bench_scan(Receiver(0, fused_frontend="bf16",
+                                          fe_out_tile=1024, fe_sub_tiles=16),
                                  128, 50, 10, reps=5, spread=True)
     print(f"mono  128ch fused-bf16: {msps:8.1f} IQ MS/s/chip "
           f"(median of 5; spread {lo:.0f}..{hi:.0f})", file=sys.stderr)
@@ -132,7 +138,8 @@ def main() -> int:
         # the exact-integer engine: bit-exact reproducible under any
         # tiling (int8x2 limbs, int32 accumulation) at int8-MXU rate —
         # replaces the 8.8 GS/s exact-f32 conv path as the exactness story
-        msps_int = _bench_scan(Receiver(0, fused_frontend="int8x2"),
+        msps_int = _bench_scan(Receiver(0, fused_frontend="int8x2",
+                                        fe_out_tile=1024, fe_sub_tiles=16),
                                128, 50, 10)
         print(f"mono  128ch exact-int8x2: {msps_int:6.1f} IQ MS/s/chip "
               f"(bit-exact engine)", file=sys.stderr)
@@ -143,6 +150,7 @@ def main() -> int:
     if time_left():
         msps_stc = _bench_scan(Receiver(0, stereo=True, rds=True,
                                         fused_frontend="bf16",
+                                        fe_out_tile=512, fe_sub_tiles=8,
                                         pll_impl="ff",
                                         conv_dtype="bf16",
                                         fused_ifbank="bf16",

@@ -720,6 +720,10 @@ class Receiver:
         if self._ifbank is not None:
             align = int(np.lcm(align,
                                2 * self.cfg.rf_decim * self._ifbank.out_tile))
+        if self.fused_frontend:
+            # the fused front-end consumes whole out_tile IF tiles
+            align = int(np.lcm(align,
+                               2 * self.cfg.rf_decim * self._fused_fe.out_tile))
         # largest carried tail: audio resampler needs ceil((taps-1)/U) IF
         # samples per block
         min_if = self.audio_resampler.state_len
@@ -730,9 +734,7 @@ class Receiver:
     def block_size_u8(self, blocks_per_step: int = 1) -> int:
         """u8 bytes per step; multiple reference blocks may be fused into one
         jit step (exactness is split-invariant, SURVEY §5.7)."""
-        base = self.cfg.block_size_u8
-        if self.rds:
-            base = int(np.lcm(base, self.block_align_u8()))
+        base = int(np.lcm(self.cfg.block_size_u8, self.block_align_u8()))
         return base * blocks_per_step
 
     @functools.cached_property
