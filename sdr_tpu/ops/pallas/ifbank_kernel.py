@@ -421,7 +421,12 @@ class FusedIFBankMix(FusedIFBank):
     def _ramps(self, n_out: int):
         """Flat trace-time f64-exact ramp tables matching ops/pll._ff_tables
         for each engine (same wrap modulus, so the finisher's synthesis
-        tables line up exactly)."""
+        tables line up exactly).
+
+        The cache holds HOST arrays: a jnp.asarray created while tracing
+        would be a trace-local constant whose reuse in a different jit
+        trace raises UnexpectedTracerError (same hazard as
+        ops/channelizer._phase_tables)."""
         if n_out not in self._ramp_cache:
             from sdr_tpu.ops.pll import _wrap_modulus
             tabs = []
@@ -430,8 +435,8 @@ class FusedIFBankMix(FusedIFBank):
                 wmod = _wrap_modulus(scale)
                 ramp = (2.0 * np.pi * (freq / self.fs)
                         * np.arange(n_out, dtype=np.float64)) % wmod
-                tabs.append((jnp.asarray(np.cos(ramp), jnp.float32)[None],
-                             jnp.asarray(np.sin(ramp), jnp.float32)[None]))
+                tabs.append((np.asarray(np.cos(ramp), np.float32)[None],
+                             np.asarray(np.sin(ramp), np.float32)[None]))
             self._ramp_cache[n_out] = tuple(tabs)
         return self._ramp_cache[n_out]
 
