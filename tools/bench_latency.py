@@ -104,7 +104,6 @@ def main() -> int:
                conv_dtype="bf16", fused_ifbank="bf16", conv_engine="tiled")
           if args.stereo else dict(fused_frontend="bf16"))
     rx = Receiver(0, **kw)
-    rf_ms_per_block = 2.667
 
     print(f"{'bps':>4} {'block RF ms':>12} {'compute ms/step':>16} "
           f"{'dispatch ms/step':>17}  latency bound (prod host)",
@@ -112,7 +111,9 @@ def main() -> int:
     for bps in (1, 2, 5, 25):
         c = compute_ms_per_step(rx, args.n_ch, bps)
         d = dispatch_ms_per_step(rx, args.n_ch, bps)
-        rf = rf_ms_per_block * bps
+        # ACTUAL step block (engine alignment may enlarge it beyond
+        # 2.667*bps — e.g. the fused IF-bank's 512-IF tiles)
+        rf = rx.block_size_u8(bps) / 2 / rx.cfg.rf_fs * 1e3
         # double-buffered: latency <= block accumulation + compute
         print(f"{bps:>4} {rf:>12.2f} {c:>16.3f} {d:>17.1f}  "
               f"~{rf + c:.2f} ms", file=sys.stderr)
