@@ -211,7 +211,15 @@ class Receiver:
         # end-to-end mono throughput on v5e, transparent for FM audio whose
         # demod distortion floor is ~25 dB.
         self.fused_frontend = bool(fused_frontend)
-        # bf16-materialization profile (see _fused_fe construction below)
+        # bf16-materialization policy — ONE rule, applied per producing
+        # stage: a stream is STORED at bf16 iff the downstream compute
+        # profile is bf16 (conv_dtype) AND the fused stage that produces it
+        # computes in bf16 (so the store only rounds where the compute
+        # profile rounds regardless).  _mat_bf16 gates the front-end's fm
+        # stream; _mat_bf16_post (set after the IF-bank is constructed)
+        # gates every post-IF-bank stream and its dependent state-init
+        # dtypes, so mixed engine configs (e.g. int8x2 front end + bf16
+        # IF bank) keep init_state dtypes consistent with step outputs.
         self._mat_bf16 = (fused_frontend == "bf16" and conv_dtype == "bf16")
         if fused_frontend:
             from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
@@ -305,6 +313,10 @@ class Receiver:
             else:
                 self._ifbank = FusedIFBank(
                     *bank_coeffs, compute_dtype=dt, out_dtype=mat)
+        # post-IF-bank materialization predicate (see _mat_bf16 above)
+        self._mat_bf16_post = (self._ifbank is not None
+                               and fused_ifbank == "bf16"
+                               and conv_dtype == "bf16")
         if rds:
             u, d = cfg.rds_resample
             self.rds_u, self.rds_d = u, d
@@ -363,8 +375,11 @@ class Receiver:
         if self.stereo:
             if self._ifbank is not None:
                 # fused IF bank: one carried raw-fm context, no per-filter
-                # tails anywhere downstream
-                ch_tail = self._ifbank.init_state(batch_shape)
+                # tails anywhere downstream.  The tail is a slice of the
+                # INPUT fm stream, so its dtype follows the front end's
+                # materialization (_mat_bf16), not the IF bank's out_dtype.
+                ch_tail = self._ifbank.init_state(batch_shape).astype(
+                    jnp.bfloat16 if self._mat_bf16 else f32)
                 ca_tail = jnp.zeros(batch_shape + (0,), f32)
             elif self.if_bpf3 is not None:
                 # fused 3-filter conv: the single shared tail lives here;
@@ -398,8 +413,7 @@ class Receiver:
                               self.rds_carrier_filter.init_state(batch_shape)),
                 pll=pll_init(batch_shape),
                 delay=jnp.zeros(batch_shape + (self.rds_delay,),
-                                jnp.bfloat16 if (self._mat_bf16
-                                                 and self._ifbank is not None)
+                                jnp.bfloat16 if self._mat_bf16_post
                                 else f32),
                 lpf_resamp_tail=self.rds_resampler.init_state(batch_shape),
                 rrc_tail=self.rds_rrc.init_state(batch_shape),
@@ -589,8 +603,7 @@ class Receiver:
             with jax.named_scope("carrier_ff_from_sums"):
                 from sdr_tpu.ops.pll import pll_feedforward_from_sums
                 n_if = fm_demod.shape[-1]
-                odt = (jnp.bfloat16 if (self._mat_bf16
-                                        and self._ifbank is not None)
+                odt = (jnp.bfloat16 if self._mat_bf16_post
                        else jnp.float32)
                 (zpr, zpi), (zrr, zri) = mix_sums
                 nco_s, pll_s = pll_feedforward_from_sums(
@@ -632,8 +645,7 @@ class Receiver:
                     # both consumers (mixers into bf16 convs) round to
                     # bf16 regardless
                     out_dtype=(jnp.bfloat16
-                               if (self._mat_bf16
-                                   and self._ifbank is not None)
+                               if self._mat_bf16_post
                                else jnp.float32))
         else:
             if self.stereo:

@@ -72,6 +72,13 @@ def _quantize_limbs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
     fix = np.round(a / s * (1 << FIX_BITS)).astype(np.int32)
     hi = np.round(fix / 128.0).astype(np.int32)
     lo = fix - 128 * hi
+    if np.abs(hi).max() > 127:
+        # peak an exact power of two: a/s hits 1.0, fix = +-2^FIX_BITS and
+        # hi = +-128 overflows int8 — give back one fixed-point bit
+        s *= 2.0
+        fix = np.round(a / s * (1 << FIX_BITS)).astype(np.int32)
+        hi = np.round(fix / 128.0).astype(np.int32)
+        lo = fix - 128 * hi
     assert np.all(np.abs(hi) <= 127) and np.all(np.abs(lo) <= 127)
     return (hi.astype(np.int8), lo.astype(np.int8),
             float(s / (1 << FIX_BITS)))

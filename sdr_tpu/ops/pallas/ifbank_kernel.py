@@ -360,6 +360,10 @@ def _ifbank_mix_call(tail, body, acp, are, aca, rcp, rsp, rcr, rsr, *,
     in_len = out_tile + CTX
     assert out_tile >= CTX and out_tile % 128 == 0
     assert out_tile % window == 0 and window % (out_tile // sub_tiles) == 0
+    # per-tile z-sum output blocks are fixed at (8, c): rows 0..wpt-1 used
+    assert out_tile // window <= 8, (
+        f"out_tile/window = {out_tile // window} windows per tile exceeds "
+        "the (8, c) per-tile z-sum block")
     grid = n_out // out_tile
     n_win = n_out // window
     wpt = out_tile // window

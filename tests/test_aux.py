@@ -118,6 +118,32 @@ def test_checkpoint_treedef_mismatch(tmp_path):
         load_state(path, {"x": np.zeros(3), "y": np.ones(3)})
 
 
+def test_checkpoint_same_structure_different_container(tmp_path):
+    """Validation is structural (leaf key paths), NOT `str(treedef)` reprs:
+    two containers whose treedef reprs differ but whose leaf key paths match
+    (dict vs collections.OrderedDict) must interchange cleanly, while a tuple
+    with the same leaves must be rejected (different key paths)."""
+    import collections
+    path = str(tmp_path / "state.npz")
+    save_state(path, {"a": np.arange(3.0), "b": np.ones(2)})
+    od = collections.OrderedDict([("a", np.zeros(3)), ("b", np.zeros(2))])
+    got = load_state(path, od)
+    np.testing.assert_array_equal(got["a"], np.arange(3.0))
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_state(path, (np.zeros(3), np.zeros(2)))
+
+
+def test_checkpoint_extra_leaves_rejected(tmp_path):
+    """A v1-style checkpoint (no path manifest) with MORE leaves than the
+    expected state must not load silently truncated."""
+    path = str(tmp_path / "state.npz")
+    arrays = {f"leaf_{i}": np.zeros(3) for i in range(3)}
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+    with pytest.raises(ValueError, match="more than the expected"):
+        load_state(path, {"a": np.zeros(3), "b": np.zeros(3)})
+
+
 # ------------------------------------------------------------------ logger
 def test_log_vector(tmp_path):
     from sdr_tpu.io.logger import gen_index_vector, log_vector

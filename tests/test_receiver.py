@@ -6,6 +6,8 @@ framework's own spec-faithful transmitter (sdr_tpu/tx.py): modulate known
 audio -> receive -> assert recovered tone SNR / stereo separation.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -495,3 +497,32 @@ def test_stereo_rds_ff_pll():
     assert sep > 15.0, f"ff-PLL separation {sep:.1f} dB"
     info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
     assert info.pi == 0x3D44 and info.groups_seen >= 4
+
+
+def test_mixed_engine_state_dtypes_stable():
+    """Mixed engine configs (e.g. --fast --exact-fast: int8x2 front end +
+    bf16 IF bank + bf16 convs) must produce step-output state dtypes that
+    MATCH init_state dtypes — a disagreement forces a second jit trace and
+    means the materialization policy is inconsistent (ADVICE r4)."""
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+    from sdr_tpu.models.receiver import Receiver
+
+    cfg = MODES[0]
+    configs = [
+        dict(fused_frontend="int8x2", pll_impl="ff", conv_dtype="bf16",
+             conv_engine="tiled", fused_ifbank="bf16"),   # --fast --exact-fast
+        dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+             conv_engine="tiled", fused_ifbank=True),     # bf16 fe, f32 ifbank
+    ]
+    for kw in configs:
+        rx = Receiver(0, stereo=True, rds=True, **kw)
+        bs = rx.block_size_u8()
+        cap = tx.synthesize_capture(cfg, seconds=2 * bs / 2 / cfg.rf_fs,
+                                    mono=tx.tone(cfg.rf_fs, 1000.0, bs))
+        st0 = rx.init_state()
+        st1, _ = rx.step(st0, jnp.asarray(cap[:bs]))
+        d0 = jax.tree.map(lambda l: jnp.asarray(l).dtype, st0)
+        d1 = jax.tree.map(lambda l: jnp.asarray(l).dtype, st1)
+        assert jax.tree.all(jax.tree.map(lambda a, b: a == b, d0, d1)), (
+            kw, d0, d1)
