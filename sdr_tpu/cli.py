@@ -165,7 +165,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    for raw in _block_source(fin, block_size):
+    src = _block_source(fin, block_size)
+    for raw in src:
         if args.trace_iq is not None and n_in == 0:
             _trace_iq(args.trace_iq, raw, rx)
         if pending is not None:
@@ -176,6 +177,18 @@ def main(argv: list[str] | None = None) -> int:
         step_times.append(time.perf_counter() - ts)
         pending = out
         n_in += len(raw)
+    # EOF flush: run the partial final block at the finest aligned size so
+    # large --blocks-per-step values don't drop up to a step's worth of
+    # signal at stream end (split-invariance makes the outputs identical;
+    # one extra jit compile at EOF)
+    tail = src.tail() if hasattr(src, "tail") else np.zeros(0, np.uint8)
+    tail_n = (len(tail) // rx.block_align_u8()) * rx.block_align_u8()
+    if tail_n:
+        if pending is not None:
+            _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks,
+                   psd_anim)
+        state, pending = step(state, jax.numpy.asarray(tail[:tail_n]))
+        n_in += tail_n
     if pending is not None:
         _drain(pending, stereo, sink, wav_chunks, rds_decoder, if_chunks,
                psd_anim)
@@ -476,14 +489,14 @@ def _trace_iq(base: str, raw: np.ndarray, rx) -> None:
 def _block_source(fin, block_size):
     """Prefer the native bounded-ring reader thread (backpressure + I/O
     overlap, sdr_tpu/native); fall back to synchronous reads."""
-    from sdr_tpu.io.stream import read_u8_blocks
+    from sdr_tpu.io.stream import SyncBlockReader
     try:
         from sdr_tpu import native
         if native.available() and hasattr(fin, "fileno"):
             return native.BlockReader(fin.fileno(), block_size)
     except Exception:
         pass
-    return read_u8_blocks(fin, block_size)
+    return SyncBlockReader(fin, block_size)
 
 
 class _SyncSink:

@@ -67,6 +67,34 @@ def read_u8_blocks(stream: BinaryIO, block_size: int) -> Iterator[np.ndarray]:
         yield np.frombuffer(buf, dtype=np.uint8)
 
 
+class SyncBlockReader:
+    """Iterator of full u8 blocks that KEEPS the partial final block:
+    `tail()` returns it after iteration ends, so the consumer can flush the
+    stream end at a finer block alignment instead of dropping up to
+    block_size-1 bytes (the reference drops the short block,
+    src/project.cpp:51-54; the native BlockReader mirrors this API)."""
+
+    def __init__(self, stream: BinaryIO, block_size: int):
+        self._stream = stream
+        self._bs = block_size
+        self._tail = np.zeros(0, np.uint8)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        buf = self._stream.read(self._bs)
+        if buf is None:
+            raise StopIteration
+        if len(buf) < self._bs:
+            self._tail = np.frombuffer(buf, dtype=np.uint8)
+            raise StopIteration
+        return np.frombuffer(buf, dtype=np.uint8)
+
+    def tail(self) -> np.ndarray:
+        return self._tail
+
+
 def read_bin_f32(path: str) -> np.ndarray:
     """Read a float32 binary dump (reference src/iofunc.cpp:32-47 `readBinData`)."""
     return np.fromfile(path, dtype=np.float32)

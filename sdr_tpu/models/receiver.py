@@ -758,17 +758,25 @@ class Receiver:
             unroll: int = 1):
         """Scan the receiver over a whole capture.
 
-        iq_u8: (..., n) u8 stream; trailing partial block is dropped
-        (reference model behavior, fmMonoBlock.py:216-217).
+        iq_u8: (..., n) u8 stream.  The capture is consumed in bs-sized
+        steps, then the remainder is FLUSHED with one extra step at the
+        finest aligned granularity (split-invariance makes any block split
+        output-identical, SURVEY §5.7) — only a sub-`block_align_u8` tail
+        is dropped (reference model behavior, fmMonoBlock.py:216-217).
+        Without the flush, engine sets with coarse step alignment (fused
+        front-end / IF-bank tiles) silently dropped up to bs-1 bytes —
+        ~0.25 s of signal at the fast profile's bps=8 step, which cost the
+        round-4 envelope table its "constant 2-group RDS deficit" (a
+        truncation artifact, not a warm-up transient).
         Returns (outputs, final_state) with outputs concatenated over time.
         """
         bs = self.block_size_u8(blocks_per_step)
         *lead, n = iq_u8.shape
+        align = self.block_align_u8()
         if bs > n:
             # capture shorter than the natural block: fall back to the
             # largest aligned block that fits (same outputs by
             # split-invariance)
-            align = self.block_align_u8()
             bs = (n // align) * align
             if bs == 0:
                 raise ValueError(
@@ -788,9 +796,20 @@ class Receiver:
         # (nblocks, ..., per_block) -> (..., nblocks*per_block); per-step
         # scalars (e.g. rssi_db) just move their block axis to the end
         outputs = {}
+        scalar_keys = set()
         for k, v in outs.items():
             if v.ndim == len(lead) + 1:
+                scalar_keys.add(k)
                 outputs[k] = jnp.moveaxis(v, 0, -1) if lead else v
             else:
                 outputs[k] = jnp.moveaxis(v, 0, -2).reshape(*lead, -1)
+        tail_bs = ((n - nblocks * bs) // align) * align
+        if tail_bs:
+            tail_blk = jnp.asarray(
+                iq_u8[..., nblocks * bs: nblocks * bs + tail_bs])
+            final_state, tail_out = self._jit_step(final_state, tail_blk)
+            for k, v in tail_out.items():
+                outputs[k] = jnp.concatenate(
+                    [outputs[k], v[..., None] if k in scalar_keys else v],
+                    axis=-1)
         return outputs, final_state

@@ -35,6 +35,9 @@ def _load() -> ctypes.CDLL | None:
     lib.sdr_reader_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.sdr_reader_blocks_read.restype = ctypes.c_uint64
     lib.sdr_reader_blocks_read.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "sdr_reader_tail"):  # absent in pre-built old .so
+        lib.sdr_reader_tail.restype = ctypes.c_uint64
+        lib.sdr_reader_tail.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.sdr_reader_destroy.argtypes = [ctypes.c_void_p]
     lib.sdr_writer_create.restype = ctypes.c_void_p
     lib.sdr_writer_create.argtypes = [ctypes.c_int, ctypes.c_uint64]
@@ -74,6 +77,13 @@ class BlockReader:
     @property
     def blocks_read(self) -> int:
         return self._lib.sdr_reader_blocks_read(self._h)
+
+    def tail(self) -> np.ndarray:
+        """Partial final block left at EOF (empty if none / old .so)."""
+        if not self._h or not hasattr(self._lib, "sdr_reader_tail"):
+            return np.zeros(0, np.uint8)
+        n = self._lib.sdr_reader_tail(self._h, self._buf)
+        return np.frombuffer(self._buf.raw[:n], dtype=np.uint8).copy()
 
     def close(self):
         if self._h:

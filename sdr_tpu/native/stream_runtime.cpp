@@ -44,6 +44,7 @@ struct Reader {
   BlockRing ring;
   std::thread thread;
   std::atomic<uint64_t> blocks_read{0};
+  std::vector<uint8_t> tail;  // partial final block (guarded by ring.mu)
 
   void pump() {
     std::vector<uint8_t> buf(block_bytes);
@@ -51,9 +52,11 @@ struct Reader {
       size_t got = 0;
       while (got < block_bytes) {
         ssize_t r = ::read(fd, buf.data() + got, block_bytes - got);
-        if (r <= 0) {  // EOF or error: a short block is dropped, like the
-                       // reference's rdstate() check (src/project.cpp:51-54)
+        if (r <= 0) {  // EOF or error: keep the short block as the tail so
+                       // the consumer can flush it at a finer alignment
+                       // (the reference drops it, src/project.cpp:51-54)
           std::lock_guard<std::mutex> lk(ring.mu);
+          tail.assign(buf.data(), buf.data() + got);
           ring.eof = true;
           ring.not_empty.notify_all();
           return;
@@ -129,6 +132,15 @@ int sdr_reader_next(void* handle, uint8_t* out) {
 
 uint64_t sdr_reader_blocks_read(void* handle) {
   return static_cast<Reader*>(handle)->blocks_read.load();
+}
+
+// Copies the partial EOF tail (0 <= n < block_bytes) into out (which must
+// hold block_bytes); returns n.  Valid once sdr_reader_next returned 1.
+uint64_t sdr_reader_tail(void* handle, uint8_t* out) {
+  auto* r = static_cast<Reader*>(handle);
+  std::lock_guard<std::mutex> lk(r->ring.mu);
+  if (!r->tail.empty()) std::memcpy(out, r->tail.data(), r->tail.size());
+  return r->tail.size();
 }
 
 void sdr_reader_destroy(void* handle) {

@@ -70,6 +70,36 @@ def impaired_captures():
 
 
 @pytest.mark.slow
+def test_fast_matches_default_group_yield_clean():
+    """On a clean capture the `--fast` engine set decodes the SAME number of
+    RDS groups as the default engines.  The round-4 envelope table showed a
+    constant 2-group 'fast' deficit that was misattributed to a feedforward
+    warm-up transient — it was run()'s trailing-block truncation (the fast
+    engines' coarse step alignment dropped ~0.25 s of capture), fixed by
+    the aligned EOF flush in Receiver.run."""
+    cfg = MODES[0]
+    sec = 1.2
+    n = int(sec * cfg.rf_fs)
+    bits = rds_tx.standard_group_stream(pi=0x3D44, ps_name="CLEAN   ",
+                                        n_groups=16)
+    cap = tx.synthesize_capture(
+        cfg, seconds=sec, left=tx.tone(cfg.rf_fs, 1000.0, n),
+        right=tx.tone(cfg.rf_fs, 2500.0, n),
+        rds_baseband=rds_tx.bits_to_baseband(bits, cfg.rf_fs)[:n], a_rds=0.1)
+    yields = {}
+    for name, kw in [("default", {}), ("fast", FAST)]:
+        rx = Receiver(0, stereo=True, rds=True, **kw)
+        out, _ = rx.run(cap, blocks_per_step=8)
+        dec = StreamingRdsDecoder(cfg.rds_sps)
+        soft = np.asarray(out["rds_soft"])
+        for i in range(0, len(soft), 2048):
+            dec.push(soft[i:i + 2048])
+        yields[name] = dec.info.groups_seen
+    assert yields["fast"] == yields["default"], yields
+    assert yields["default"] >= 12, yields
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("impairment", sorted(IMPAIRMENTS))
 @pytest.mark.parametrize("engines", ["default", "fast"])
 def test_impairment_envelope(impaired_captures, impairment, engines):

@@ -86,6 +86,35 @@ def test_native_ring_roundtrip():
     assert b"".join(b.tobytes() for b in blocks) == payload
 
 
+def test_native_reader_keeps_partial_tail():
+    """The partial final block at EOF is retained for the consumer's
+    aligned flush (tail()), not silently dropped."""
+    from sdr_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    r, w = os.pipe()
+    payload = bytes(range(256)) * 3  # 768 bytes = 1 full 512-block + 256
+    os.write(w, payload)
+    os.close(w)
+    reader = native.BlockReader(r, 512, capacity=2)
+    blocks = list(reader)
+    tail = reader.tail()
+    reader.close()
+    assert len(blocks) == 1 and blocks[0].tobytes() == payload[:512]
+    assert tail.tobytes() == payload[512:]
+
+
+def test_sync_reader_keeps_partial_tail():
+    import io
+
+    from sdr_tpu.io.stream import SyncBlockReader
+    payload = bytes(range(200))
+    src = SyncBlockReader(io.BytesIO(payload), 64)
+    blocks = list(src)
+    assert len(blocks) == 3
+    assert src.tail().tobytes() == payload[192:]
+
+
 def test_native_writer_drains_on_close(tmp_path):
     """BlockWriter (the CLI audio sink) must flush every queued block
     before destroy returns — bytes written off-thread land in order."""

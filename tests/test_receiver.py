@@ -526,3 +526,25 @@ def test_mixed_engine_state_dtypes_stable():
         d1 = jax.tree.map(lambda l: jnp.asarray(l).dtype, st1)
         assert jax.tree.all(jax.tree.map(lambda a, b: a == b, d0, d1)), (
             kw, d0, d1)
+
+
+def test_run_flushes_trailing_remainder():
+    """run() processes the capture tail at the finest aligned block size
+    instead of dropping up to a whole (coarsely aligned) step: a capture
+    sized as an odd multiple of block_align_u8 yields the same output
+    length at blocks_per_step=4 as at blocks_per_step=1."""
+    rx = Receiver(0, fused_frontend="bf16", pll_impl="ff",
+                  conv_dtype="bf16", conv_engine="tiled")
+    align = rx.block_align_u8()
+    n = 9 * align  # not a multiple of block_size_u8(4)
+    assert n % rx.block_size_u8(4) != 0
+    cap = tx.synthesize_capture(MODES[0], seconds=n / 2 / MODES[0].rf_fs,
+                                mono=tx.tone(MODES[0].rf_fs, 800.0, n))[:n]
+    o1, s1 = rx.run(cap, blocks_per_step=1)
+    o4, s4 = rx.run(cap, blocks_per_step=4)
+    assert o1["mono"].shape == o4["mono"].shape
+    np.testing.assert_allclose(np.asarray(o4["mono"]), np.asarray(o1["mono"]),
+                               atol=2e-2)
+    # final states agree too (the flush consumed the same samples)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
+        assert np.asarray(a).shape == np.asarray(b).shape
