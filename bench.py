@@ -160,6 +160,41 @@ def main() -> int:
               f"IF-bank + tiled bf16 convs + bf16 materialization): "
               f"{msps_stc:5.1f} IQ MS/s/chip", file=sys.stderr)
     if time_left():
+        # wideband channelizer, Pallas pipelined engine (round 5): one
+        # 9.6 MS/s antenna -> 64 stations, u8 pre-phased ingest
+        import jax.numpy as jnp
+        from sdr_tpu.ops.channelizer import WidebandChannelizer
+        k = 64
+        chan = WidebandChannelizer(
+            9.6e6, 2.4e6, list(np.linspace(-4.0e6, 4.0e6, k)),
+            engine="pallas", ingest="u8")
+        n_wide = 1 << 20
+        rng = np.random.default_rng(0)
+        xbt = jax.device_put(rng.integers(
+            0, 256, size=(2 * chan.decim, n_wide // chan.decim),
+            dtype=np.uint8))
+        cst = chan.init_state()
+
+        @jax.jit
+        def chan_all(state, xbt):
+            def body(carry, _):
+                st, acc = carry
+                (i_o, q_o), st2 = chan._pl.call_cols(xbt, st)
+                return (st2, acc + i_o[0, 0] + q_o[0, 0]), None
+            (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0.0)),
+                                        None, length=512)
+            return acc
+
+        float(chan_all(cst, xbt))
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chan_all(cst, xbt))
+            dts.append(time.perf_counter() - t0)
+        wms = n_wide * 512 / sorted(dts)[1] / 1e6
+        print(f"wideband channelizer 64st pallas-u8 (pre-phased): "
+              f"{wms:7.1f} wideband MS/s/chip", file=sys.stderr)
+    if time_left():
         h2d = _bench_h2d()
         print(f"H2D bandwidth (dev-box tunnel): {h2d:.1f} MB/s",
               file=sys.stderr)

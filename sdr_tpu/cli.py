@@ -303,8 +303,14 @@ def _run_wideband(args, cfg, stereo, rds):
               file=_sys.stderr)
     else:
         freqs = [float(f) for f in args.freqs.split(",") if f]
-    chan = WidebandChannelizer(fs_wide, cfg.rf_fs, freqs,
-                               compute_dtype="bf16" if args.fast else "f32")
+    # the Pallas pipelined engine is the production channelizer on TPU
+    # (~11x the lax.map engine, BASELINE.md round 5); the XLA mfb engine
+    # stays the CPU path (per-tile interpret mode is slow on captures)
+    chan = WidebandChannelizer(
+        fs_wide, cfg.rf_fs, freqs,
+        engine="pallas" if jax.default_backend() == "tpu" else "mfb",
+        ingest="u8" if args.wideband_u8 else "f32",
+        compute_dtype="bf16" if args.fast else "f32")
     fast = dict(fused_frontend=False,
                 pll_impl="ff" if args.fast else "auto")
     rx = Receiver(args.mode, stereo=stereo, rds=rds, **fast)

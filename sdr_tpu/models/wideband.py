@@ -59,7 +59,7 @@ class WidebandReceiver:
         """
         cstate, rstate = state
         with jax.named_scope("channelize"):
-            if self.chan.engine == "mfb":
+            if self.chan.engine in ("mfb", "pallas"):
                 (i_st, q_st), cstate = self.chan.call_interleaved(wide,
                                                                   cstate)
             else:

@@ -52,7 +52,13 @@ class WidebandChannelizer:
         capture center) for each station.
       cutoff: anti-alias LPF cutoff (default 100 kHz, the FM channel).
       taps: LPF taps at the wideband rate.
-      engine: "mfb" (modulated filter bank, default) or "mix" (v1 oracle).
+      engine: "mfb" (modulated filter bank, default), "pallas" (the mfb
+        GEMM inside an auto-pipelined Pallas grid — DMA/compute overlap
+        between tiles; ops/pallas/channelizer_kernel.py) or "mix" (v1
+        oracle).
+      ingest: "f32" | "u8" — the raw-stream dtype the pallas engine's
+        carried tail is stored in (must match the blocks fed to it).
+      tile: pallas engine time-tile (output samples per grid step).
       compute_dtype: "f32" (exact) or "bf16" — run the MFB conv with bf16
         inputs/filters (f32 accumulation).  The u8-ingest semantics stay
         exact ((x-128)/128 is representable in bf16); only the filter
@@ -64,11 +70,12 @@ class WidebandChannelizer:
     def __init__(self, fs_wide: float, fs_out: float,
                  station_freqs: list[float], *, cutoff: float = 100e3,
                  taps: int = 101, engine: str = "mfb",
-                 compute_dtype: str = "f32"):
+                 compute_dtype: str = "f32", ingest: str = "f32",
+                 tile: int = 4096, out_dtype: str = "f32"):
         decim = fs_wide / fs_out
         assert abs(decim - round(decim)) < 1e-9, (
             f"fs_wide/fs_out = {decim} must be integral")
-        assert engine in ("mfb", "mix"), engine
+        assert engine in ("mfb", "mix", "pallas"), engine
         self.decim = int(round(decim))
         self.fs_wide = float(fs_wide)
         self.fs_out = float(fs_out)
@@ -88,6 +95,18 @@ class WidebandChannelizer:
         if engine == "mix":
             self._lpf_i = PolyphaseResampler(coeff, 1, self.decim)
             self._lpf_q = PolyphaseResampler(coeff, 1, self.decim)
+        elif engine == "pallas":
+            # pipelined Pallas im2col-GEMM engine (VERDICT r4 item 1):
+            # replaces the mfb lax.map loop with an auto-pipelined grid —
+            # tile t+1's DMA overlaps tile t's matmul
+            from sdr_tpu.ops.pallas.channelizer_kernel import PallasMFB
+            self.state_len = self.taps - 1
+            assert out_dtype in ("f32", "bf16"), out_dtype
+            self._pl = PallasMFB(
+                coeff, self._dphi, self.decim, tile=tile,
+                compute_dtype=self.compute_dtype, ingest=ingest,
+                out_dtype=(jnp.bfloat16 if out_dtype == "bf16"
+                           else jnp.float32))
         else:
             rhs = _modulated_bank(np.asarray(coeff, np.float64), self._dphi)
             self.state_len = self.taps - 1
@@ -148,6 +167,8 @@ class WidebandChannelizer:
                 "i_tail": self._lpf_i.init_state((self.k,)),
                 "q_tail": self._lpf_q.init_state((self.k,)),
             }
+        if self.engine == "pallas":
+            return self._pl.init_state()
         # mfb: one carried INTERLEAVED f32 tail (last 2*(taps-1) scalars)
         return {
             "phase": jnp.zeros((self.k,), jnp.float32),
@@ -166,6 +187,8 @@ class WidebandChannelizer:
                                self._lpf_i.state_len, self._lpf_i.L,
                                i_wide, q_wide, state)
         body = jnp.stack([i_wide, q_wide], axis=-1).reshape(-1)
+        if self.engine == "pallas":
+            return self._pl(body, state)
         return self._mfb_interleaved(body, state)
 
     def call_interleaved(self, wide: jax.Array, state):
@@ -173,6 +196,8 @@ class WidebandChannelizer:
         float32 or u8 (reference ingest semantics (x-128)/128,
         src/iofunc.cpp:62-69, decoded exactly inside the compute cast: the
         8x-larger f32 wideband stream never materializes in HBM)."""
+        if self.engine == "pallas":
+            return self._pl(wide, state)
         assert self.engine == "mfb", "interleaved ingest is an mfb feature"
         return self._mfb_interleaved(wide, state)
 

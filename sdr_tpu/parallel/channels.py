@@ -55,11 +55,17 @@ def sharded_run(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "channels",
         state = jax.device_put(state, sharding)
 
     bs = rx.block_size_u8(blocks_per_step)
+    n_in = iq.shape[-1]
+    nblocks = n_in // bs
+    # flush the trailing remainder at the finest aligned block size, like
+    # Receiver.run (split-invariance makes the outputs identical) — without
+    # this, coarse-aligned engine sets silently drop up to bs-1 bytes
+    align = rx.block_align_u8()
+    tail_bs = ((n_in - nblocks * bs) // align) * align
 
     @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=(P(axis), P(axis)), check_vma=False)
     def run_shard(iq_local, state_local):
-        nblocks = iq_local.shape[-1] // bs
         blocks = iq_local[..., : nblocks * bs].reshape(
             iq_local.shape[0], nblocks, bs)
         blocks = jax.numpy.moveaxis(blocks, 1, 0)
@@ -68,8 +74,15 @@ def sharded_run(rx: Receiver, iq_u8, mesh: Mesh, *, axis: str = "channels",
             return rx.step(st, blk)
 
         final, outs = jax.lax.scan(scan_fn, state_local, blocks)
+        scalar = {k for k, v in outs.items() if v.ndim == 2}
         outs = {k: jax.numpy.moveaxis(v, 0, 1).reshape(v.shape[1], -1)
                 for k, v in outs.items()}
+        if tail_bs:
+            final, tout = rx.step(
+                final, iq_local[..., nblocks * bs: nblocks * bs + tail_bs])
+            outs = {k: jax.numpy.concatenate(
+                [outs[k], tout[k][..., None] if k in scalar else tout[k]],
+                axis=-1) for k in outs}
         return outs, final
 
     outs, final = jax.jit(run_shard)(iq, state)

@@ -43,7 +43,7 @@ def _timed(run_all, *args, reps: int = 3):
 
 
 def bench(engine: str, k: int, n_wide: int, n_steps: int, reps: int = 3,
-          dtype: str = "f32", u8: bool = False):
+          dtype: str = "f32", u8: bool = False, out_dtype: str = "f32"):
     import jax
     import jax.numpy as jnp
     from sdr_tpu.ops.channelizer import WidebandChannelizer
@@ -51,27 +51,51 @@ def bench(engine: str, k: int, n_wide: int, n_steps: int, reps: int = 3,
     fs_wide, fs_out = 9.6e6, 2.4e6
     freqs = list(np.linspace(-4.0e6, 4.0e6, k))
     chan = WidebandChannelizer(fs_wide, fs_out, freqs, engine=engine,
-                               compute_dtype=dtype)
+                               compute_dtype=dtype,
+                               ingest="u8" if u8 else "f32",
+                               out_dtype=out_dtype)
     rng = np.random.default_rng(0)
     state0 = chan.init_state()
 
-    if u8:
+    if u8 == "cols":
+        # pre-phased (2D, N/D) u8 layout (host deinterleaves during ingest
+        # framing): the pallas engine's zero-device-prep path
+        xbt = jax.device_put(rng.integers(
+            0, 256, size=(2 * chan.decim, n_wide // chan.decim),
+            dtype=np.uint8))
+
+        @jax.jit
+        def run_all(state, xbt):
+            def body(carry, _):
+                st, acc = carry
+                (i_o, q_o), st2 = chan._pl.call_cols(xbt, st)
+                return (st2, acc + i_o[0, 0] + q_o[0, 0]), None
+
+            (st, acc), _ = jax.lax.scan(
+                body, (state, jnp.float32(0.0)), None,
+                length=REPEATS * n_steps)
+            return acc
+
+        dt, (lo, hi) = _timed(run_all, state0, xbt, reps=reps)
+    elif u8:
+        # ONE device-resident block re-fed every step with state flowing
+        # through (no CSE) — scanning a stacked (n_steps, ...) input made
+        # XLA dynamic-slice-copy the raw bytes every step, an artifact of
+        # the bench packing that live feeds never pay (same fix as
+        # bench.py round 4; measured 106 us/step here)
         wide = jax.device_put(rng.integers(
-            0, 256, size=(n_steps, 2 * n_wide), dtype=np.uint8))
+            0, 256, size=(2 * n_wide,), dtype=np.uint8))
 
         @jax.jit
         def run_all(state, wide):
-            def body(st, blk):
-                (i_o, q_o), st2 = chan.call_interleaved(blk, st)
-                return st2, jnp.sum(i_o) + jnp.sum(q_o)
-
-            def outer(carry, _):
+            def body(carry, _):
                 st, acc = carry
-                st, sums = jax.lax.scan(body, st, wide)
-                return (st, acc + jnp.sum(sums)), None
+                (i_o, q_o), st2 = chan.call_interleaved(wide, st)
+                return (st2, acc + i_o[0, 0] + q_o[0, 0]), None
 
-            (st, acc), _ = jax.lax.scan(outer, (state, jnp.float32(0.0)),
-                                        None, length=REPEATS)
+            (st, acc), _ = jax.lax.scan(
+                body, (state, jnp.float32(0.0)), None,
+                length=REPEATS * n_steps)
             return acc
 
         dt, (lo, hi) = _timed(run_all, state0, wide, reps=reps)
@@ -109,6 +133,8 @@ def main() -> int:
     ap.add_argument("--dtypes", nargs="+", default=["f32"])
     ap.add_argument("--u8", action="store_true",
                     help="also time u8-interleaved ingest (mfb only)")
+    ap.add_argument("--out-dtype", default="f32", choices=["f32", "bf16"],
+                    help="pallas engine output materialization dtype")
     ap.add_argument("--n-wide", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=8)
     args = ap.parse_args()
@@ -117,13 +143,17 @@ def main() -> int:
     for k in args.stations:
         for eng in args.engines:
             for dt in args.dtypes:
-                ingests = [False] + ([True] if args.u8 and eng == "mfb"
-                                     else [])
+                ingests = [False] + ([True] if args.u8
+                                     and eng in ("mfb", "pallas") else [])
+                if args.u8 and eng == "pallas":
+                    ingests.append("cols")
                 for u8 in ingests:
                     msps, (lo, hi) = bench(eng, k, args.n_wide, args.steps,
-                                           dtype=dt, u8=u8)
+                                           dtype=dt, u8=u8,
+                                           out_dtype=args.out_dtype)
                     rt = msps / 9.6  # x realtime at the 9.6 MS/s capture
-                    tag = f"{eng}{'-u8' if u8 else '':4s}/{dt:4s}"
+                    sfx = {False: "", True: "-u8", "cols": "-u8c"}[u8]
+                    tag = f"{eng}{sfx:4s}/{dt:4s}"
                     print(f"{tag} K={k:3d}: {msps:9.1f} wideband MS/s "
                           f"({lo:.0f}..{hi:.0f}; {rt:7.1f}x realtime)",
                           flush=True)
