@@ -74,9 +74,17 @@ def hlo_collective_count(rx, n_dev: int, n_ch: int, n_bytes: int) -> int:
     return sum(hlo.count(c) for c in COLLECTIVES)
 
 
+FAST = dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+            conv_engine="tiled", fused_ifbank="bf16")
+
+
 def main():
     cfg = MODES[0]
-    rx = Receiver(0)
+    # round-5 refresh (VERDICT r4 item 6): the weak-scaling evidence is
+    # measured with the PRODUCTION engine set the headline numbers use
+    # (fused bf16 front end + feedforward carriers + fused IF bank + tiled
+    # banded convs), full stereo+RDS chain — not the round-1 engines
+    rx = Receiver(0, stereo=True, rds=True, **FAST)
     per_dev = 2           # channels per device (weak scaling)
     sec = 0.05
     n = int(sec * cfg.rf_fs)
@@ -86,7 +94,9 @@ def main():
         n_ch = per_dev * n_dev
         caps = np.stack([
             tx.synthesize_capture(cfg, seconds=sec,
-                                  mono=tx.tone(cfg.rf_fs, 500.0 + 40.0 * c, n),
+                                  left=tx.tone(cfg.rf_fs, 500.0 + 40.0 * c, n),
+                                  right=tx.tone(cfg.rf_fs, 700.0 + 40.0 * c,
+                                                n),
                                   seed=c)
             for c in range(n_ch)])
         mesh = make_mesh(n_dev, "channels")
