@@ -59,7 +59,12 @@ def _bench_scan(rx, n_ch: int, bps: int, n_steps: int, reps: int = 3,
     def run_all(state, block):
         def body(st, _):
             st2, out = rx.step(st, block)
-            return st2, sum(jnp.sum(v) for v in out.values())
+            # keep every output's producing op live with one element each
+            # (XLA only DCEs whole ops, never partial elements) — the
+            # round-4 full jnp.sum of all outputs cost ~4.5 ms/step on the
+            # stereo chain, swamping the thing being measured
+            return st2, sum(v.reshape(-1)[0].astype(jnp.float32)
+                            for v in out.values())
 
         def outer(carry, _):
             st, acc = carry
@@ -116,10 +121,12 @@ def main() -> int:
     # 128ch/50-block steps is the measured utilization sweet spot on v5e.
     # Median of 5 timed reps with min..max spread (VERDICT r2 weak item 1:
     # the quoted headline must carry its variance).
-    msps, (lo, hi) = _bench_scan(Receiver(0, fused_frontend="bf16",
-                                          fe_out_tile=1024, fe_sub_tiles=16),
+    msps, (lo, hi) = _bench_scan(Receiver(0, fused_frontend="int8",
+                                          fe_out_tile=1024, fe_sub_tiles=8,
+                                          conv_engine="tiled",
+                                          conv_dtype="bf16"),
                                  128, 50, 10, reps=5, spread=True)
-    print(f"mono  128ch fused-bf16: {msps:8.1f} IQ MS/s/chip "
+    print(f"mono  128ch fused-int8+tiled-bf16: {msps:8.1f} IQ MS/s/chip "
           f"(median of 5; spread {lo:.0f}..{hi:.0f})", file=sys.stderr)
 
     # emit the headline immediately: tunnel-side compiles of the optional
@@ -139,7 +146,7 @@ def main() -> int:
         # tiling (int8x2 limbs, int32 accumulation) at int8-MXU rate —
         # replaces the 8.8 GS/s exact-f32 conv path as the exactness story
         msps_int = _bench_scan(Receiver(0, fused_frontend="int8x2",
-                                        fe_out_tile=1024, fe_sub_tiles=16),
+                                        fe_out_tile=1024, fe_sub_tiles=8),
                                128, 50, 10)
         print(f"mono  128ch exact-int8x2: {msps_int:6.1f} IQ MS/s/chip "
               f"(bit-exact engine)", file=sys.stderr)
@@ -149,16 +156,17 @@ def main() -> int:
               file=sys.stderr)
     if time_left():
         msps_stc = _bench_scan(Receiver(0, stereo=True, rds=True,
-                                        fused_frontend="bf16",
-                                        fe_out_tile=512, fe_sub_tiles=8,
+                                        fused_frontend="int8",
+                                        fe_out_tile=1024, fe_sub_tiles=8,
                                         pll_impl="ff",
                                         conv_dtype="bf16",
                                         fused_ifbank="bf16",
                                         conv_engine="tiled"),
                                128, 50, 8)
-        print(f"stereo+RDS 128ch (fused bf16 + feedforward carrier + fused "
-              f"IF-bank + tiled bf16 convs + bf16 materialization): "
-              f"{msps_stc:5.1f} IQ MS/s/chip", file=sys.stderr)
+        print(f"stereo+RDS 128ch (fused int8 front end + fused IF-bank "
+              f"+ fused carrier-synth/mix + Pallas audio pair + bf16 "
+              f"materialization): {msps_stc:5.1f} IQ MS/s/chip",
+              file=sys.stderr)
     if time_left():
         # wideband channelizer, Pallas pipelined engine (round 5): one
         # 9.6 MS/s antenna -> 64 stations, u8 pre-phased ingest

@@ -115,7 +115,8 @@ class Receiver:
                  stereo_phase_adjust: float = 0.0,
                  compat_pll: bool = False,
                  deemphasis_us: float | None = None,
-                 emit_rssi: bool = False):
+                 emit_rssi: bool = False,
+                 fused_synth: bool = True):
         cfg = get_mode(mode) if isinstance(mode, int) else mode
         if rds and cfg.rds_sps is None:
             raise ValueError(f"mode {cfg.mode} does not support RDS")
@@ -220,7 +221,12 @@ class Receiver:
         # gates every post-IF-bank stream and its dependent state-init
         # dtypes, so mixed engine configs (e.g. int8x2 front end + bf16
         # IF bank) keep init_state dtypes consistent with step outputs.
-        self._mat_bf16 = (fused_frontend == "bf16" and conv_dtype == "bf16")
+        # int8 (single-limb) joins the bf16 profile: its ~44 dB coefficient
+        # quantization already dominates the bf16 store rounding, and the
+        # bf16 downstream rounds every consumer anyway.  int8x2 stays f32 —
+        # its selling point is exactness, paired with exact downstream.
+        self._mat_bf16 = (fused_frontend in ("bf16", "int8")
+                          and conv_dtype == "bf16")
         if fused_frontend:
             from sdr_tpu.ops.pallas.frontend_kernel import FusedFrontend
             # "int8x2" = the exact-integer engine: bit-exact under any
@@ -228,6 +234,7 @@ class Receiver:
             # int8-MXU rate (2x bf16 on v5e) — the fast-AND-exact profile
             dt = (jnp.bfloat16 if fused_frontend == "bf16"
                   else "int8x2" if fused_frontend == "int8x2"
+                  else "int8" if fused_frontend == "int8"
                   else jnp.float32)
             # bf16 materialization: when the whole downstream chain
             # computes in bf16 anyway (conv_dtype='bf16'), write the fm
@@ -317,6 +324,23 @@ class Receiver:
         self._mat_bf16_post = (self._ifbank is not None
                                and fused_ifbank == "bf16"
                                and conv_dtype == "bf16")
+        # fused carrier-synthesis + mixer Pallas pass (only meaningful on
+        # the ifbank-mix chain): the XLA synthesis materializes its
+        # per-window broadcasts as full IF-rate ops (~1/3 of the stereo
+        # step, round-5 profile); the kernel keeps the NCOs in-register
+        # and writes the MIXED streams directly (ops/pallas/ffmix_kernel)
+        self._fused_synth = bool(fused_synth) and self._ifbank_mix
+        # Pallas audio-pair engine: both IF->audio decimating FIRs in one
+        # launch with clamped-left-context windows — the XLA tiled engine's
+        # tail-concat + layout copies cost more than its conv math
+        # (ops/pallas/audio_kernel.py; integer-ratio modes only)
+        self._audio_pair = None
+        if (self._fused_synth and conv_engine == "tiled"
+                and cfg.audio_interp == 1 and cfg.audio_taps <= 129):
+            from sdr_tpu.ops.pallas.audio_kernel import PairDecimFIR
+            self._audio_pair = PairDecimFIR(
+                audio_coeff, cfg.audio_decim, compute_dtype=_cdt,
+                out_dtype=jnp.float32)
         if rds:
             u, d = cfg.rds_resample
             self.rds_u, self.rds_d = u, d
@@ -369,8 +393,18 @@ class Receiver:
                 prev_i=jnp.zeros(batch_shape, f32),
                 prev_q=jnp.zeros(batch_shape, f32),
             )
-        mono = MonoState(audio_tail=self.audio_resampler.init_state(batch_shape),
-                         deemph=jnp.zeros(batch_shape, f32))
+        if self._audio_pair is not None:
+            # Pallas audio-pair engine: tails are the last CTX raw input
+            # samples per stream, in each stream's materialization dtype
+            from sdr_tpu.ops.pallas.audio_kernel import CTX as _ACTX
+            fm_dt = jnp.bfloat16 if self._mat_bf16 else f32
+            mono = MonoState(
+                audio_tail=jnp.zeros(batch_shape + (_ACTX,), fm_dt),
+                deemph=jnp.zeros(batch_shape, f32))
+        else:
+            mono = MonoState(
+                audio_tail=self.audio_resampler.init_state(batch_shape),
+                deemph=jnp.zeros(batch_shape, f32))
         stereo = None
         if self.stereo:
             if self._ifbank is not None:
@@ -397,7 +431,11 @@ class Receiver:
                 carrier_tail=ca_tail,
                 pll=pll_init(batch_shape),
                 mono_delay=jnp.zeros(batch_shape + (self.cfg.mono_delay,), f32),
-                stereo_audio_tail=self.stereo_audio_resampler.init_state(batch_shape),
+                stereo_audio_tail=(
+                    jnp.zeros(batch_shape + (128,),
+                              jnp.bfloat16 if self._mat_bf16_post else f32)
+                    if self._audio_pair is not None else
+                    self.stereo_audio_resampler.init_state(batch_shape)),
                 deemph_l=jnp.zeros(batch_shape, f32),
                 deemph_r=jnp.zeros(batch_shape, f32),
             )
@@ -599,7 +637,39 @@ class Receiver:
                     squared, rs.carrier_tail)
 
         # --- carrier recovery: the two PLLs batch into one kernel launch
-        if self.stereo and self.rds and self._ifbank_mix:
+        fused_mixed = fused_baseband = fused_rds_delay = None
+        if (self.stereo and self.rds and self._ifbank_mix
+                and self._fused_synth):
+            # estimate-only (tiny per-window math), then ONE Pallas pass
+            # synthesizes both carriers in-register and mixes — the NCO
+            # streams and the synthesis broadcasts never reach HBM
+            with jax.named_scope("carrier_ffmix"):
+                from sdr_tpu.ops.pallas.ffmix_kernel import ffmix
+                from sdr_tpu.ops.pll import pll_ff_params_from_sums
+                n_if = fm_demod.shape[-1]
+                odt = (jnp.bfloat16 if self._mat_bf16_post
+                       else jnp.float32)
+                (zpr, zpi), (zrr, zri) = mix_sums
+                params_s, pll_s = pll_ff_params_from_sums(
+                    zpr, zpi, st.pll, freq=float(cfg.pilot_freq),
+                    fs=float(cfg.if_fs), n=n_if, nco_scale=2.0,
+                    window=self._ifbank.window)
+                params_r, pll_r = pll_ff_params_from_sums(
+                    zrr, zri, rs.pll, freq=float(cfg.rds_carrier_freq),
+                    fs=float(cfg.if_fs), n=n_if, nco_scale=0.5,
+                    window=self._ifbank.window)
+                chan_delayed, fused_rds_delay = delay_line(rds_channel,
+                                                           rs.delay)
+                fused_mixed, fused_baseband = ffmix(
+                    channel, chan_delayed, params_s, params_r, n=n_if,
+                    window=self._ifbank.window,
+                    pilot_freq=float(cfg.pilot_freq),
+                    rds_freq=float(cfg.rds_carrier_freq),
+                    fs=float(cfg.if_fs),
+                    phase_adjust=float(self.stereo_phase_adjust),
+                    out_dtype=odt)
+                nco_s = nco_r = None
+        elif self.stereo and self.rds and self._ifbank_mix:
             with jax.named_scope("carrier_ff_from_sums"):
                 from sdr_tpu.ops.pll import pll_feedforward_from_sums
                 n_if = fm_demod.shape[-1]
@@ -661,11 +731,21 @@ class Receiver:
 
         stereo_state = state.stereo
         if self.stereo:
-            mixed = mixer(channel, nco_s)                  # project.cpp:169
+            mixed = (fused_mixed if fused_mixed is not None
+                     else mixer(channel, nco_s))           # project.cpp:169
             if self.compat_shared_audio_state:
                 # reference defect: stereo resample continues the mono tail
                 stereo_audio, audio_tail = self.audio_resampler(mixed, audio_tail)
                 stereo_audio_tail = st.stereo_audio_tail
+            elif defer_mono and self._audio_pair is not None:
+                # both IF->audio FIRs in one Pallas launch, carried context
+                # via clamped window specs — no tail concat, no stack copy
+                with jax.named_scope("audio_pair_kernel"):
+                    (mono_audio, stereo_audio, audio_tail,
+                     stereo_audio_tail) = self._audio_pair(
+                        fm_demod, mixed, state.mono.audio_tail,
+                        st.stereo_audio_tail)
+                outputs["mono"] = mono_audio
             elif defer_mono:
                 # one conv for both IF->audio resamples (same filter bank);
                 # in the bf16-materialization profile `mixed` joins the
@@ -703,8 +783,11 @@ class Receiver:
         rds_state = state.rds
         if self.rds:
             # all-pass delay aligning channel to carrier (src/project.cpp:260-266)
-            chan_delayed, delay = delay_line(rds_channel, rs.delay)
-            baseband = mixer(nco_r, chan_delayed)          # src/project.cpp:269
+            if fused_baseband is not None:
+                baseband, delay = fused_baseband, fused_rds_delay
+            else:
+                chan_delayed, delay = delay_line(rds_channel, rs.delay)
+                baseband = mixer(nco_r, chan_delayed)      # src/project.cpp:269
             # ---- beyond the reference code: spec pp.13-14 chain ----
             resampled, lpf_tail = self.rds_resampler(baseband,
                                                      rs.lpf_resamp_tail)

@@ -1,0 +1,164 @@
+"""Fused feedforward-carrier SYNTHESIZE + mixer Pallas kernel.
+
+The XLA lowering of the feedforward synthesis (ops/pll.py _ff_finish_1d)
+materializes the per-window scalar broadcasts: under the 128-channel vmap,
+`off[:, None]` and `slope[:, None] * rel` become standalone
+(C, n_win, window) f32 broadcast ops plus {0,1}->{1,0} layout copies of
+the full IF-rate stream — four ops of ~590 us each at the production
+shape, roughly a third of the whole stereo+RDS step (round-5 profile).
+The synthesized NCOs then round-trip HBM to meet the mixers.
+
+This kernel runs both engines' synthesis and both mixers in one pass over
+the (C, tile) stream blocks: per window, the scalar (off, slope) pair is
+selected from small (C, n_win) tables (aligned-chunk + iota-mask reduce —
+the same pattern as the channelizer's rotation phasors), theta is built
+in-register from the host-precomputed scaled ramp row, and the cos feeds
+the mixer directly:
+
+    mixed_s[c, i] = 2 * channel[c, i]     * cos(rampS[i] + offS_c + slpS_c*rel)
+    mixed_r[c, i] = 2 * rds_delayed[c, i] * cos(rampR[i] + offR_c + slpR_c*rel)
+
+The NCO streams and the broadcast intermediates never exist in HBM; the
+only full-rate traffic is reading the two channel streams and writing the
+two mixed streams.  nco_scale and phase_adjust are folded into the ramp
+tables and the off/slope parameters host-side (cos-argument association
+differs from the unfused path by float rounding only; equivalence is
+gated by tolerance in tests/test_pallas.py).
+
+Reference semantics carried through: mixer x2 gain (src/filter.cpp:176-184)
+and the synthesis math of ops/pll.py pll_feedforward (whose estimator the
+caller runs via pll_ff_params_from_sums).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffmix_kernel(chan_ref, rdsd_ref, ramps_ref, rampr_ref, offs_ref,
+                  slps_ref, offr_ref, slpr_ref, ms_ref, mr_ref, *,
+                  wpt, window):
+    t = pl.program_id(0)
+    # iota must be integer-typed in Mosaic; center after the cast
+    rel = (jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+           .astype(jnp.float32) - jnp.float32((window - 1) / 2.0))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for w in range(wpt):
+        wg = t * wpt + w
+        ck = (wg // 128) * 128          # provably 128-aligned chunk start
+        m = (lane == wg % 128).astype(jnp.float32)
+
+        def sel(ref):
+            return jnp.sum(ref[:, pl.ds(ck, 128)] * m, axis=1,
+                           keepdims=True)               # (C, 1)
+
+        o_s, s_s = sel(offs_ref), sel(slps_ref)
+        o_r, s_r = sel(offr_ref), sel(slpr_ref)
+        rs = ramps_ref[pl.ds(wg, 1), :]                 # (1, W)
+        rr = rampr_ref[pl.ds(wg, 1), :]
+        sl = slice(w * window, (w + 1) * window)
+        nco_s = jnp.cos(rs + o_s + s_s * rel)           # (C, W) in-register
+        nco_r = jnp.cos(rr + o_r + s_r * rel)
+        ms_ref[:, sl] = (2.0 * chan_ref[:, sl].astype(jnp.float32)
+                         * nco_s).astype(ms_ref.dtype)
+        mr_ref[:, sl] = (2.0 * rdsd_ref[:, sl].astype(jnp.float32)
+                         * nco_r).astype(mr_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tile", "interpret",
+                                             "out_dtype"))
+def _ffmix_call(chan, rdsd, ramps, rampr, offs, slps, offr, slpr, *,
+                window, tile, interpret, out_dtype=jnp.float32):
+    c, n = chan.shape
+    assert tile % window == 0 and n % tile == 0, (tile, window, n)
+    wpt = tile // window
+    grid = n // tile
+    kernel = functools.partial(_ffmix_kernel, wpt=wpt, window=window)
+    full = lambda a: pl.BlockSpec(a.shape, lambda t: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    ms, mr = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(jax.ShapeDtypeStruct((c, n), out_dtype),) * 2,
+        in_specs=[
+            pl.BlockSpec((c, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            full(ramps), full(rampr),
+            full(offs), full(slps), full(offr), full(slpr),
+        ],
+        out_specs=(pl.BlockSpec((c, tile), lambda t: (0, t),
+                                memory_space=pltpu.VMEM),) * 2,
+        interpret=interpret,
+    )(chan, rdsd, ramps, rampr, offs, slps, offr, slpr)
+    return ms, mr
+
+
+def _scaled_ramp(n: int, window: int, freq: float, fs: float,
+                 nco_scale: float, phase_adjust: float) -> np.ndarray:
+    """Host-f64 (n_win, window) table of scale*ramp + adjust (the constant
+    part of the cos argument; same ramp as pll._ff_tables ramp_mod)."""
+    from sdr_tpu.ops.pll import _wrap_modulus
+    wmod_f = _wrap_modulus(nco_scale)
+    w0_f64 = 2.0 * np.pi * (float(freq) / float(fs))
+    ramp = ((w0_f64 * np.arange(n, dtype=np.float64)) % wmod_f
+            ).reshape(n // window, window)
+    return np.asarray(ramp * nco_scale + phase_adjust, np.float32)
+
+
+def ffmix(channel, rds_delayed, params_s, params_r, *, n: int,
+          window: int, pilot_freq: float, rds_freq: float, fs: float,
+          stereo_scale: float = 2.0, rds_scale: float = 0.5,
+          phase_adjust: float = 0.0, tile: int | None = None,
+          out_dtype=jnp.float32, interpret: bool | None = None):
+    """Synthesize both carriers and mix in one fused pass.
+
+    channel / rds_delayed: (C, n) IF-rate streams (any float dtype).
+    params_s / params_r: (off, slope) pairs (C, n_win) from
+      pll_ff_params_from_sums for the pilot (nco_scale=2) and RDS carrier
+      (nco_scale=0.5) engines.
+    Returns (mixed_stereo, rds_baseband), both (C, n) in out_dtype, equal
+    to 2*channel*nco_s and 2*rds_delayed*nco_r.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    *lead, n_ = channel.shape
+    channel = channel.reshape(-1, n_)
+    rds_delayed = rds_delayed.reshape(-1, n_)
+    params_s = tuple(p.reshape(-1, p.shape[-1]) for p in params_s)
+    params_r = tuple(p.reshape(-1, p.shape[-1]) for p in params_r)
+    n_win = n // window
+    if tile is None:
+        tile = _largest_window_multiple(n, window, 4096)
+    ramps = jnp.asarray(_scaled_ramp(n, window, pilot_freq, fs,
+                                     stereo_scale, phase_adjust))
+    rampr = jnp.asarray(_scaled_ramp(n, window, rds_freq, fs, rds_scale,
+                                     0.0))
+    ncp = -(-n_win // 128) * 128
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, ncp - n_win)))
+    off_s, slp_s = params_s
+    off_r, slp_r = params_r
+    # fold the per-engine nco_scale (and adjust, already in the ramp) into
+    # the per-window scalars so the kernel's cos argument is one affine
+    offs = pad(off_s * jnp.float32(stereo_scale))
+    slps = pad(slp_s * jnp.float32(stereo_scale))
+    offr = pad(off_r * jnp.float32(rds_scale))
+    slpr = pad(slp_r * jnp.float32(rds_scale))
+    ms, mr = _ffmix_call(channel, rds_delayed, ramps, rampr, offs, slps,
+                         offr, slpr, window=window, tile=tile,
+                         interpret=interpret, out_dtype=out_dtype)
+    return ms.reshape(*lead, n_), mr.reshape(*lead, n_)
+
+
+def _largest_window_multiple(n: int, window: int, cap: int) -> int:
+    for k in range(min(cap // window, n // window), 0, -1):
+        if n % (k * window) == 0:
+            return k * window
+    return window

@@ -84,6 +84,16 @@ def _quantize_limbs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
             float(s / (1 << FIX_BITS)))
 
 
+def _quantize_int8(a: np.ndarray) -> tuple[np.ndarray, float]:
+    """Single-limb int8 coefficient quantization (throughput engine):
+    a ~= a8 * scale, a8 int8.  ~44 dB coefficient SNR — below the int8x2
+    engine's ~90 dB but far above the FM demod's ~25 dB distortion floor."""
+    peak = np.abs(a).max()
+    sc = (peak / 127.0) if peak > 0 else 1.0
+    a8 = np.clip(np.round(a / sc), -127, 127).astype(np.int8)
+    return a8, float(sc)
+
+
 def _frontend_kernel(tail_ref, body_ref, a_ref, i_ref, q_ref, scratch_ref,
                      sem, *, in_len, out_tile, decim, compute_dtype,
                      sub_tiles, tail_u8, fix_scale=0.0):
@@ -161,8 +171,20 @@ def _frontend_kernel(tail_ref, body_ref, a_ref, i_ref, q_ref, scratch_ref,
             acc2 = jnp.dot(as_i8, a_ref[1], preferred_element_type=jnp.int32)
             out = (acc1 * 128 + acc2).astype(jnp.float32) * jnp.float32(
                 fix_scale / 128.0)  # /128 undoes the int8 decode scaling
+        elif compute_dtype == "int8":
+            # throughput-integer engine: ONE int8 matmul (394 TOPS on v5e,
+            # 2x bf16) on 8-bit coefficients (~44 dB, far above the FM
+            # demod distortion floor); the decode is the XOR+bitcast above
+            # — no widening, no scaling (the round-5 profile showed the
+            # per-byte VPU decode, not DMA or the MXU, bounded this kernel)
+            acc = jnp.dot(as_i8, a_ref[:, :],
+                          preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * jnp.float32(fix_scale / 128.0)
         else:
-            xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
+            # the exact /128 decode scale is FOLDED INTO the band matrix (a
+            # pure exponent shift — bit-identical results), so the per-byte
+            # decode is XOR+bitcast+widen only
+            xf = as_i8.astype(compute_dtype)
             out = jnp.dot(xf, a_ref[:, :],
                           preferred_element_type=jnp.float32)
         i_ref[:, s * ot:(s + 1) * ot] = out[:, :ot]
@@ -237,8 +259,12 @@ def _frontend_demod_kernel(tail_ref, body_ref, a_ref, prev_ref, fm_ref,
             acc2 = jnp.dot(as_i8, a_ref[1], preferred_element_type=jnp.int32)
             out = (acc1 * 128 + acc2).astype(jnp.float32) * jnp.float32(
                 fix_scale / 128.0)
+        elif compute_dtype == "int8":
+            acc = jnp.dot(as_i8, a_ref[:, :],
+                          preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * jnp.float32(fix_scale / 128.0)
         else:
-            xf = as_i8.astype(compute_dtype) * compute_dtype(1.0 / 128.0)
+            xf = as_i8.astype(compute_dtype)  # /128 folded into a_ref
             out = jnp.dot(xf, a_ref[:, :],
                           preferred_element_type=jnp.float32)
         i_sub, q_sub = out[:, :ot], out[:, ot:]
@@ -277,7 +303,7 @@ def _fused_frontend_demod_call(tail, body, a, prev, *, decim, out_tile,
                                compute_dtype=compute_dtype,
                                sub_tiles=sub_tiles, tail_u8=tail_u8,
                                fix_scale=fix_scale)
-    if compute_dtype != "int8x2":
+    if compute_dtype not in ("int8x2", "int8"):
         a = a.astype(compute_dtype)
     fm, misc = pl.pallas_call(
         kernel,
@@ -320,7 +346,7 @@ def _fused_frontend_call(tail, body, a, *, decim, out_tile, interpret,
                                compute_dtype=compute_dtype,
                                sub_tiles=sub_tiles, tail_u8=tail_u8,
                                fix_scale=fix_scale)
-    if compute_dtype != "int8x2":
+    if compute_dtype not in ("int8x2", "int8"):
         a = a.astype(compute_dtype)
     i_ds, q_ds = pl.pallas_call(
         kernel,
@@ -382,8 +408,14 @@ class FusedFrontend:
         if self.compute_dtype == "int8x2":
             hi, lo, self.fix_scale = _quantize_limbs(band)
             self._a = jnp.asarray(np.stack([hi, lo]))
+        elif self.compute_dtype == "int8":
+            a8, self.fix_scale = _quantize_int8(band)
+            self._a = jnp.asarray(a8)
         else:
-            self._a = jnp.asarray(band)
+            # fold the exact /128 u8-decode scale into the coefficients: a
+            # power-of-two exponent shift, so f32 results stay bit-identical
+            # and bf16 coefficient rounding is unchanged
+            self._a = jnp.asarray(band / 128.0)
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> jax.Array:
         # value 128 decodes to 0.0 == zero-filled float tails

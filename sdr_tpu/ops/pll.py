@@ -210,19 +210,13 @@ def _ff_tables(n: int, window: int, freq: float, fs: float,
         adj=jnp.float32(phase_adjust))
 
 
-def _ff_finish_1d(zr, zi, st, tabs, *, n: int, window: int,
-                 out_dtype=jnp.float32):
-    """ESTIMATE + UNWRAP + SYNTHESIZE from per-window coherent sums.
-
-    zr/zi are Z_c = sum_{i in window c} x_i e^{-j ramp_i} (any positive
-    scale — atan2 is scale-invariant, so sums and means are equivalent),
-    WITHOUT the block's carried start rotation r0: it is applied here as
-    one complex rotation per window.  Shared tail of _ff_run_1d; also the
-    consumer of in-kernel mix sums (ops/pallas/ifbank_kernel.py emit_mix),
-    where the pilot / RDS-carrier streams never reach HBM.
-    """
+def _ff_estimate_1d(zr, zi, st, wmod, r_adv, window: int):
+    """ESTIMATE + UNWRAP from per-window coherent sums: returns the
+    per-window synthesis parameters (off = r0 + phi_c, slope) and the new
+    PLLState — WITHOUT synthesizing the NCO (the SYNTHESIZE stage can run
+    here, in _ff_finish_1d, or fused into a Pallas pass that also mixes,
+    ops/pallas/ffmix_kernel.py)."""
     two_pi = jnp.float32(2.0 * np.pi)
-    rel = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
     r0 = st.trig_offset
     cr0, sr0 = jnp.cos(r0), jnp.sin(r0)
     # z' = e^{-j r0} (zr + j zi)
@@ -234,16 +228,53 @@ def _ff_finish_1d(zr, zi, st, tabs, *, n: int, window: int,
     d = d - two_pi * jnp.round(d / two_pi)               # (-pi, pi]
     phi_c = st.phase_acc + jnp.cumsum(d)                 # continuous
     slope = d / jnp.float32(window)
-    theta = (tabs["ramp_mod"] + (r0 + phi_c)[:, None]
-             + slope[:, None] * rel[None, :])            # (nc, window)
-    nco = jnp.cos(theta * tabs["scale"] + tabs["adj"]
-                  ).astype(out_dtype).reshape(n)
-    phi_last = jnp.mod(phi_c[-1], tabs["wmod"])
+    phi_last = jnp.mod(phi_c[-1], wmod)
     new = PLLState(integrator=slope[-1], phase_acc=phi_last,
                    feedback_i=jnp.cos(phi_last),
                    feedback_q=jnp.sin(phi_last),
-                   trig_offset=jnp.mod(r0 + tabs["r_adv"], tabs["wmod"]))
+                   trig_offset=jnp.mod(r0 + r_adv, wmod))
+    return r0 + phi_c, slope, new
+
+
+def _ff_finish_1d(zr, zi, st, tabs, *, n: int, window: int,
+                 out_dtype=jnp.float32):
+    """ESTIMATE + UNWRAP + SYNTHESIZE from per-window coherent sums.
+
+    zr/zi are Z_c = sum_{i in window c} x_i e^{-j ramp_i} (any positive
+    scale — atan2 is scale-invariant, so sums and means are equivalent),
+    WITHOUT the block's carried start rotation r0: it is applied here as
+    one complex rotation per window.  Shared tail of _ff_run_1d; also the
+    consumer of in-kernel mix sums (ops/pallas/ifbank_kernel.py emit_mix),
+    where the pilot / RDS-carrier streams never reach HBM.
+    """
+    rel = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
+    off, slope, new = _ff_estimate_1d(zr, zi, st, tabs["wmod"],
+                                      tabs["r_adv"], window)
+    theta = (tabs["ramp_mod"] + off[:, None]
+             + slope[:, None] * rel[None, :])            # (nc, window)
+    nco = jnp.cos(theta * tabs["scale"] + tabs["adj"]
+                  ).astype(out_dtype).reshape(n)
     return nco, new
+
+
+@partial(jax.jit, static_argnames=("freq", "fs", "nco_scale", "window", "n"))
+def pll_ff_params_from_sums(zr: jax.Array, zi: jax.Array, state: PLLState,
+                            *, freq: float, fs: float, n: int,
+                            nco_scale: float = 1.0, window: int = 256):
+    """Feedforward ESTIMATE stage only: per-window (off, slope) synthesis
+    parameters from precomputed MIX sums (see pll_feedforward_from_sums),
+    for a fused external SYNTHESIZE+mix pass.  Returns
+    ((off, slope), new_state), each (..., n//window)."""
+    wmod_f = _wrap_modulus(nco_scale)
+    w0_f64 = 2.0 * np.pi * (float(freq) / float(fs))
+    r_adv = jnp.float32((w0_f64 * n) % wmod_f)
+    wmod = jnp.float32(wmod_f)
+
+    fn = partial(_ff_estimate_1d, wmod=wmod, r_adv=r_adv, window=window)
+    for _ in range(zr.ndim - 1):
+        fn = jax.vmap(fn, in_axes=(0, 0, 0))
+    off, slope, new = fn(zr, zi, state)
+    return (off, slope), new
 
 
 def _ff_run_1d(x1, st, tabs, *, n: int, window: int,

@@ -267,3 +267,56 @@ def test_int8x2_full_chain_matches_exact_f32():
     assert snr > 100.0, f"int8x2 vs f32 stream SNR {snr:.1f} dB"
     o_i2, _ = rxi.run(cap, blocks_per_step=2)
     assert np.array_equal(b, np.asarray(o_i2["mono"]))
+
+
+def test_fused_synth_mix_matches_unfused():
+    """The ffmix Pallas pass (carrier synthesis + both mixers in-register,
+    ops/pallas/ffmix_kernel.py) and the audio-pair kernel
+    (ops/pallas/audio_kernel.py) reproduce the unfused XLA path: mono is
+    reduction-order-identical; stereo/RDS agree at the bf16-profile noise
+    class across multi-block state carry."""
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+    from sdr_tpu.models.receiver import Receiver
+    from sdr_tpu.rds import tx as rds_tx
+
+    cfg = MODES[0]
+    sec = 0.6
+    n = int(sec * cfg.rf_fs)
+    bits = rds_tx.standard_group_stream(pi=0x3D44, ps_name="TPU FM  ",
+                                        n_groups=8)
+    cap = tx.synthesize_capture(
+        cfg, seconds=sec, left=tx.tone(cfg.rf_fs, 1000.0, n),
+        right=tx.tone(cfg.rf_fs, 2500.0, n),
+        rds_baseband=rds_tx.bits_to_baseband(bits, cfg.rf_fs)[:n], a_rds=0.1)
+    KW = dict(stereo=True, rds=True, pll_impl="ff", fused_ifbank="bf16",
+              conv_engine="tiled", conv_dtype="bf16", fused_frontend="int8")
+    rx_f = Receiver(0, fused_synth=True, **KW)
+    assert rx_f._fused_synth and rx_f._audio_pair is not None
+    a, _ = Receiver(0, fused_synth=False, **KW).run(cap, blocks_per_step=4)
+    b, _ = rx_f.run(cap, blocks_per_step=4)
+    for k, min_snr in (("mono", 100.0), ("left", 45.0), ("right", 45.0),
+                       ("rds_soft", 45.0)):
+        x = np.asarray(a[k], np.float32)
+        y = np.asarray(b[k], np.float32)
+        snr = 10 * np.log10(np.mean(x * x)
+                            / max(np.mean((x - y) ** 2), 1e-30))
+        assert snr > min_snr, f"{k}: {snr:.1f} dB"
+
+
+def test_int8_frontend_snr():
+    """The single-limb int8 front end (throughput engine) stays far above
+    the FM chain's distortion floor vs the exact f32 path."""
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+    from sdr_tpu.models.receiver import Receiver
+
+    cfg = MODES[0]
+    n = int(0.2 * cfg.rf_fs)
+    cap = tx.synthesize_capture(cfg, seconds=0.2,
+                                mono=tx.tone(cfg.rf_fs, 1000.0, n))
+    a = np.asarray(Receiver(0).run(cap, blocks_per_step=2)[0]["mono"])
+    b = np.asarray(Receiver(0, fused_frontend="int8").run(
+        cap, blocks_per_step=2)[0]["mono"])
+    snr = 10 * np.log10(np.mean(a * a) / max(np.mean((a - b) ** 2), 1e-30))
+    assert snr > 60.0, f"int8 fe stream SNR {snr:.1f} dB"
