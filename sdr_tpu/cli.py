@@ -63,9 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None,
                    help="resume the streaming state from a checkpoint")
     p.add_argument("--fast", action="store_true",
-                   help="fast engines: fused bf16 Pallas front-end + "
-                        "feedforward carrier recovery + bf16 conv profile "
-                        "(~53 dB channelizer / ~45 dB per-conv SNR, "
+                   help="fast engines: fused int8 Pallas front end + "
+                        "feedforward carriers (fused synth+mix kernel) + "
+                        "tiled bf16 convs (87 dB front-end stream SNR, "
                         "transparent for FM audio)")
     p.add_argument("--exact-fast", action="store_true",
                    help="exact-integer front end (int8x2): bit-exact "
@@ -127,9 +127,11 @@ def main(argv: list[str] | None = None) -> int:
           f"{'stereo' if stereo else 'mono'}{' + RDS' if rds else ''}",
           file=sys.stderr)
 
-    # feedforward carrier recovery is pure XLA — fastest on TPU and CPU
-    # alike (no backend-dependent dispatch needed)
-    fast = (dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+    # the production fast profile (bench.py headline engine set): int8
+    # single-matmul front end (87 dB stream SNR vs exact — transparent),
+    # feedforward carriers (fused synth+mix kernel on the stereo+RDS
+    # chain), tiled bf16 convs
+    fast = (dict(fused_frontend="int8", pll_impl="ff", conv_dtype="bf16",
                  conv_engine="tiled")
             if args.fast else {})
     if args.fast and stereo and rds:

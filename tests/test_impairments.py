@@ -38,7 +38,7 @@ from sdr_tpu.rds import tx as rds_tx
 from sdr_tpu.rds.streaming import StreamingRdsDecoder
 from sdr_tpu.utils.compare import stereo_separation_db, tone_snr_db
 
-FAST = dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+FAST = dict(fused_frontend="int8", pll_impl="ff", conv_dtype="bf16",
             fused_ifbank="bf16", conv_engine="tiled")
 
 IMPAIRMENTS = {

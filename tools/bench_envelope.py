@@ -20,7 +20,7 @@ if "--tpu" not in sys.argv:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-FAST = dict(fused_frontend="bf16", pll_impl="ff", conv_dtype="bf16",
+FAST = dict(fused_frontend="int8", pll_impl="ff", conv_dtype="bf16",
             fused_ifbank="bf16", conv_engine="tiled")
 
 ROWS = [
