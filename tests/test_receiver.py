@@ -548,3 +548,38 @@ def test_run_flushes_trailing_remainder():
     # final states agree too (the flush consumed the same samples)
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
         assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_fast_engine_split_invariance(rng):
+    """Split-invariance of the FULL round-5 fast engine set (int8 front
+    end + fused IF-bank-mix + ffmix carrier/mixer kernel + audio-pair
+    kernel + tiled RDS convs): a random sequence of aligned step sizes
+    equals one single-shot run — the state carry of every fused kernel
+    (raw u8 fe tail, fm ctx, mixed ctx, ff phase track) is exact."""
+    cfg = MODES[0]
+    rx = Receiver(0, stereo=True, rds=True, fused_frontend="int8",
+                  pll_impl="ff", conv_dtype="bf16", fused_ifbank="bf16",
+                  conv_engine="tiled")
+    align = rx.block_align_u8()
+    n_u8 = 8 * align
+    n = n_u8 // 2
+    cap = tx.synthesize_capture(cfg, seconds=n / cfg.rf_fs,
+                                left=tx.tone(cfg.rf_fs, 1000.0, n),
+                                right=tx.tone(cfg.rf_fs, 2000.0, n))[:n_u8]
+    full, _ = rx.run(cap, blocks_per_step=1)
+
+    state = rx.init_state()
+    step = jax.jit(rx.step)
+    pos, chunks = 0, {"left": [], "rds_soft": []}
+    while pos < n_u8:
+        k = int(rng.integers(1, 4))
+        size = min(k * align, n_u8 - pos)
+        state, out = step(state, cap[pos: pos + size])
+        for key in chunks:
+            chunks[key].append(np.asarray(out[key], np.float32))
+        pos += size
+    for key, atol in (("left", 5e-3), ("rds_soft", 5e-3)):
+        joined = np.concatenate(chunks[key])
+        ref = np.asarray(full[key], np.float32)[: len(joined)]
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(joined, ref, atol=atol * scale)

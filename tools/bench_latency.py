@@ -100,9 +100,11 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
-    kw = (dict(stereo=True, rds=True, fused_frontend="bf16", pll_impl="ff",
+    # round-5 production fast profile (the CLI --fast engine set)
+    kw = (dict(stereo=True, rds=True, fused_frontend="int8", pll_impl="ff",
                conv_dtype="bf16", fused_ifbank="bf16", conv_engine="tiled")
-          if args.stereo else dict(fused_frontend="bf16"))
+          if args.stereo else dict(fused_frontend="int8",
+                                   conv_engine="tiled", conv_dtype="bf16"))
     rx = Receiver(0, **kw)
 
     print(f"{'bps':>4} {'block RF ms':>12} {'compute ms/step':>16} "
