@@ -450,9 +450,13 @@ class Receiver:
                               if self._ifbank is not None else
                               self.rds_carrier_filter.init_state(batch_shape)),
                 pll=pll_init(batch_shape),
-                delay=jnp.zeros(batch_shape + (self.rds_delay,),
-                                jnp.bfloat16 if self._mat_bf16_post
-                                else f32),
+                # fused-synth path: the delay is applied IN the ffmix
+                # kernel from a carried EXT-column context of the raw
+                # rds_channel stream (ops/pallas/ffmix_kernel.py)
+                delay=jnp.zeros(
+                    batch_shape + (128 if self._fused_synth
+                                   else self.rds_delay,),
+                    jnp.bfloat16 if self._mat_bf16_post else f32),
                 lpf_resamp_tail=self.rds_resampler.init_state(batch_shape),
                 rrc_tail=self.rds_rrc.init_state(batch_shape),
             )
@@ -658,16 +662,15 @@ class Receiver:
                     zrr, zri, rs.pll, freq=float(cfg.rds_carrier_freq),
                     fs=float(cfg.if_fs), n=n_if, nco_scale=0.5,
                     window=self._ifbank.window)
-                chan_delayed, fused_rds_delay = delay_line(rds_channel,
-                                                           rs.delay)
                 fused_mixed, fused_baseband = ffmix(
-                    channel, chan_delayed, params_s, params_r, n=n_if,
-                    window=self._ifbank.window,
+                    channel, rds_channel, rs.delay, params_s, params_r,
+                    n=n_if, window=self._ifbank.window,
                     pilot_freq=float(cfg.pilot_freq),
                     rds_freq=float(cfg.rds_carrier_freq),
-                    fs=float(cfg.if_fs),
+                    fs=float(cfg.if_fs), delay=self.rds_delay,
                     phase_adjust=float(self.stereo_phase_adjust),
                     out_dtype=odt)
+                fused_rds_delay = rds_channel[..., -128:]
                 nco_s = nco_r = None
         elif self.stereo and self.rds and self._ifbank_mix:
             with jax.named_scope("carrier_ff_from_sums"):

@@ -41,10 +41,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ffmix_kernel(chan_ref, rdsd_ref, ramps_ref, rampr_ref, offs_ref,
-                  slps_ref, offr_ref, slpr_ref, ms_ref, mr_ref, *,
-                  wpt, window):
+EXT = 128  # left-context columns carried for the in-kernel RDS delay
+
+
+def _ffmix_kernel(rtail_ref, rleft_ref, chan_ref, rds_ref, ramps_ref,
+                  rampr_ref, offs_ref, slps_ref, offr_ref, slpr_ref,
+                  ms_ref, mr_ref, *, wpt, window, delay):
     t = pl.program_id(0)
+    # the reference's RDS all-pass delay (src/project.cpp:260-266) is a
+    # static shift: delayed[i] = rds[i - delay].  Realize it from the
+    # left-context window (previous EXT columns of the stream — clamped
+    # block for t >= 1, carried-tail operand for t == 0) with lane rolls,
+    # so the delayed stream never materializes in HBM and the caller's
+    # delay_line concat+slice pass disappears.
+    left = jnp.where(t == 0, rtail_ref[:, :], rleft_ref[:, :])
+    rbuf = jnp.concatenate([left, rds_ref[:, :]],
+                           axis=1).astype(jnp.float32)  # (C, EXT+tile)
+    width = EXT + wpt * window
     # iota must be integer-typed in Mosaic; center after the cast
     rel = (jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
            .astype(jnp.float32) - jnp.float32((window - 1) / 2.0))
@@ -65,39 +78,47 @@ def _ffmix_kernel(chan_ref, rdsd_ref, ramps_ref, rampr_ref, offs_ref,
         sl = slice(w * window, (w + 1) * window)
         nco_s = jnp.cos(rs + o_s + s_s * rel)           # (C, W) in-register
         nco_r = jnp.cos(rr + o_r + s_r * rel)
+        # delayed rds window = buf cols [EXT + w*W - delay, +W)
+        off = EXT + w * window - delay
+        rdsd = pltpu.roll(rbuf, shift=width - off, axis=1)[:, :window]
         ms_ref[:, sl] = (2.0 * chan_ref[:, sl].astype(jnp.float32)
                          * nco_s).astype(ms_ref.dtype)
-        mr_ref[:, sl] = (2.0 * rdsd_ref[:, sl].astype(jnp.float32)
-                         * nco_r).astype(mr_ref.dtype)
+        mr_ref[:, sl] = (2.0 * rdsd * nco_r).astype(mr_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tile", "interpret",
-                                             "out_dtype"))
-def _ffmix_call(chan, rdsd, ramps, rampr, offs, slps, offr, slpr, *,
-                window, tile, interpret, out_dtype=jnp.float32):
+                                             "out_dtype", "delay"))
+def _ffmix_call(rds_tail, chan, rds, ramps, rampr, offs, slps, offr, slpr,
+                *, window, tile, interpret, delay, out_dtype=jnp.float32):
     c, n = chan.shape
     assert tile % window == 0 and n % tile == 0, (tile, window, n)
+    assert 0 <= delay <= EXT and tile % EXT == 0, (delay, tile)
     wpt = tile // window
     grid = n // tile
-    kernel = functools.partial(_ffmix_kernel, wpt=wpt, window=window)
+    kernel = functools.partial(_ffmix_kernel, wpt=wpt, window=window,
+                               delay=delay)
     full = lambda a: pl.BlockSpec(a.shape, lambda t: (0, 0),
                                   memory_space=pltpu.VMEM)
+    main = pl.BlockSpec((c, tile), lambda t: (0, t),
+                        memory_space=pltpu.VMEM)
     ms, mr = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=(jax.ShapeDtypeStruct((c, n), out_dtype),) * 2,
         in_specs=[
-            pl.BlockSpec((c, tile), lambda t: (0, t),
+            pl.BlockSpec((c, EXT), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, tile), lambda t: (0, t),
+            pl.BlockSpec((c, EXT),
+                         lambda t: (0, jnp.maximum(t * (tile // EXT) - 1, 0)),
                          memory_space=pltpu.VMEM),
+            main, main,
             full(ramps), full(rampr),
             full(offs), full(slps), full(offr), full(slpr),
         ],
         out_specs=(pl.BlockSpec((c, tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM),) * 2,
         interpret=interpret,
-    )(chan, rdsd, ramps, rampr, offs, slps, offr, slpr)
+    )(rds_tail, rds, chan, rds, ramps, rampr, offs, slps, offr, slpr)
     return ms, mr
 
 
@@ -113,27 +134,33 @@ def _scaled_ramp(n: int, window: int, freq: float, fs: float,
     return np.asarray(ramp * nco_scale + phase_adjust, np.float32)
 
 
-def ffmix(channel, rds_delayed, params_s, params_r, *, n: int,
+def ffmix(channel, rds_channel, rds_tail, params_s, params_r, *, n: int,
           window: int, pilot_freq: float, rds_freq: float, fs: float,
-          stereo_scale: float = 2.0, rds_scale: float = 0.5,
+          delay: int, stereo_scale: float = 2.0, rds_scale: float = 0.5,
           phase_adjust: float = 0.0, tile: int | None = None,
           out_dtype=jnp.float32, interpret: bool | None = None):
-    """Synthesize both carriers and mix in one fused pass.
+    """Synthesize both carriers, apply the RDS all-pass delay, and mix —
+    one fused pass.
 
-    channel / rds_delayed: (C, n) IF-rate streams (any float dtype).
+    channel / rds_channel: (C, n) IF-rate streams (any float dtype).
+    rds_tail: (C, EXT) carried last columns of the previous block's
+      rds_channel (the in-kernel delay's cross-block context).
+    delay: the reference's RDS channel delay in samples (<= EXT).
     params_s / params_r: (off, slope) pairs (C, n_win) from
       pll_ff_params_from_sums for the pilot (nco_scale=2) and RDS carrier
       (nco_scale=0.5) engines.
     Returns (mixed_stereo, rds_baseband), both (C, n) in out_dtype, equal
-    to 2*channel*nco_s and 2*rds_delayed*nco_r.
+    to 2*channel*nco_s and 2*delayed(rds_channel)*nco_r.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     *lead, n_ = channel.shape
     channel = channel.reshape(-1, n_)
-    rds_delayed = rds_delayed.reshape(-1, n_)
+    rds_channel = rds_channel.reshape(-1, n_)
+    rds_tail = rds_tail.reshape(-1, rds_tail.shape[-1])
     params_s = tuple(p.reshape(-1, p.shape[-1]) for p in params_s)
     params_r = tuple(p.reshape(-1, p.shape[-1]) for p in params_r)
+    rds_tail = rds_tail.astype(rds_channel.dtype)
     n_win = n // window
     if tile is None:
         tile = _largest_window_multiple(n, window, 4096)
@@ -151,9 +178,10 @@ def ffmix(channel, rds_delayed, params_s, params_r, *, n: int,
     slps = pad(slp_s * jnp.float32(stereo_scale))
     offr = pad(off_r * jnp.float32(rds_scale))
     slpr = pad(slp_r * jnp.float32(rds_scale))
-    ms, mr = _ffmix_call(channel, rds_delayed, ramps, rampr, offs, slps,
-                         offr, slpr, window=window, tile=tile,
-                         interpret=interpret, out_dtype=out_dtype)
+    ms, mr = _ffmix_call(rds_tail, channel, rds_channel, ramps, rampr,
+                         offs, slps, offr, slpr, window=window, tile=tile,
+                         interpret=interpret, delay=delay,
+                         out_dtype=out_dtype)
     return ms.reshape(*lead, n_), mr.reshape(*lead, n_)
 
 
