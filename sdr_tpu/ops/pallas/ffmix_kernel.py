@@ -46,44 +46,52 @@ EXT = 128  # left-context columns carried for the in-kernel RDS delay
 
 def _ffmix_kernel(rtail_ref, rleft_ref, chan_ref, rds_ref, ramps_ref,
                   rampr_ref, offs_ref, slps_ref, offr_ref, slpr_ref,
-                  ms_ref, mr_ref, *, wpt, window, delay):
+                  exp_ref, ms_ref, mr_ref, *, wpt, window, delay, tile):
     t = pl.program_id(0)
     # the reference's RDS all-pass delay (src/project.cpp:260-266) is a
     # static shift: delayed[i] = rds[i - delay].  Realize it from the
     # left-context window (previous EXT columns of the stream — clamped
-    # block for t >= 1, carried-tail operand for t == 0) with lane rolls,
-    # so the delayed stream never materializes in HBM and the caller's
-    # delay_line concat+slice pass disappears.
+    # block for t >= 1, carried-tail operand for t == 0) with ONE lane
+    # roll, so the delayed stream never materializes in HBM and the
+    # caller's delay_line concat+slice pass disappears.
     left = jnp.where(t == 0, rtail_ref[:, :], rleft_ref[:, :])
     rbuf = jnp.concatenate([left, rds_ref[:, :]],
                            axis=1).astype(jnp.float32)  # (C, EXT+tile)
-    width = EXT + wpt * window
-    # iota must be integer-typed in Mosaic; center after the cast
-    rel = (jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
-           .astype(jnp.float32) - jnp.float32((window - 1) / 2.0))
+    width = EXT + tile
+    rdsd = pltpu.roll(rbuf, shift=width - (EXT - delay),
+                      axis=1)[:, :tile]                 # (C, tile)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    for w in range(wpt):
-        wg = t * wpt + w
-        ck = (wg // 128) * 128          # provably 128-aligned chunk start
-        m = (lane == wg % 128).astype(jnp.float32)
 
-        def sel(ref):
-            return jnp.sum(ref[:, pl.ds(ck, 128)] * m, axis=1,
-                           keepdims=True)               # (C, 1)
+    # per-tile params: select the wpt per-window scalars (aligned-chunk +
+    # iota-mask), then expand each scalar across its window's lanes with a
+    # constant 0/1 (wpt, tile) matrix on the MXU (E[w, j] = [j//W == w];
+    # pltpu.repeat is TILE-wise, not elementwise) so the whole tile is ONE
+    # (C, tile) elementwise pass — the per-window loop formulation spent
+    # more on small-op overhead than on the cosines (cos measured ~copy
+    # speed on the VPU)
+    def params(ref):
+        cols = []
+        for w in range(wpt):
+            wg = t * wpt + w
+            ck = (wg // 128) * 128      # provably 128-aligned chunk start
+            m = (lane == wg % 128).astype(jnp.float32)
+            cols.append(jnp.sum(ref[:, pl.ds(ck, 128)] * m, axis=1,
+                                keepdims=True))         # (C, 1)
+        return jnp.dot(jnp.concatenate(cols, axis=1), exp_ref[:, :],
+                       preferred_element_type=jnp.float32)   # (C, tile)
 
-        o_s, s_s = sel(offs_ref), sel(slps_ref)
-        o_r, s_r = sel(offr_ref), sel(slpr_ref)
-        rs = ramps_ref[pl.ds(wg, 1), :]                 # (1, W)
-        rr = rampr_ref[pl.ds(wg, 1), :]
-        sl = slice(w * window, (w + 1) * window)
-        nco_s = jnp.cos(rs + o_s + s_s * rel)           # (C, W) in-register
-        nco_r = jnp.cos(rr + o_r + s_r * rel)
-        # delayed rds window = buf cols [EXT + w*W - delay, +W)
-        off = EXT + w * window - delay
-        rdsd = pltpu.roll(rbuf, shift=width - off, axis=1)[:, :window]
-        ms_ref[:, sl] = (2.0 * chan_ref[:, sl].astype(jnp.float32)
-                         * nco_s).astype(ms_ref.dtype)
-        mr_ref[:, sl] = (2.0 * rdsd * nco_r).astype(mr_ref.dtype)
+    o_s, s_s = params(offs_ref), params(slps_ref)       # (C, tile)
+    o_r, s_r = params(offr_ref), params(slpr_ref)
+    rs = ramps_ref[pl.ds(t, 1), :]                      # (1, tile)
+    rr = rampr_ref[pl.ds(t, 1), :]
+    # rel pattern repeats per window: rebuild from a tile-long iota mod W
+    rel = ((jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) % window)
+           .astype(jnp.float32) - jnp.float32((window - 1) / 2.0))
+    nco_s = jnp.cos(rs + o_s + s_s * rel)               # (C, tile)
+    nco_r = jnp.cos(rr + o_r + s_r * rel)
+    ms_ref[:, :] = (2.0 * chan_ref[:, :].astype(jnp.float32)
+                    * nco_s).astype(ms_ref.dtype)
+    mr_ref[:, :] = (2.0 * rdsd * nco_r).astype(mr_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tile", "interpret",
@@ -96,7 +104,11 @@ def _ffmix_call(rds_tail, chan, rds, ramps, rampr, offs, slps, offr, slpr,
     wpt = tile // window
     grid = n // tile
     kernel = functools.partial(_ffmix_kernel, wpt=wpt, window=window,
-                               delay=delay)
+                               delay=delay, tile=tile)
+    ramps = ramps.reshape(grid, tile)
+    rampr = rampr.reshape(grid, tile)
+    expand = jnp.asarray(np.kron(np.eye(wpt, dtype=np.float32),
+                                 np.ones((1, window), np.float32)))
     full = lambda a: pl.BlockSpec(a.shape, lambda t: (0, 0),
                                   memory_space=pltpu.VMEM)
     main = pl.BlockSpec((c, tile), lambda t: (0, t),
@@ -114,11 +126,13 @@ def _ffmix_call(rds_tail, chan, rds, ramps, rampr, offs, slps, offr, slpr,
             main, main,
             full(ramps), full(rampr),
             full(offs), full(slps), full(offr), full(slpr),
+            full(expand),
         ],
         out_specs=(pl.BlockSpec((c, tile), lambda t: (0, t),
                                 memory_space=pltpu.VMEM),) * 2,
         interpret=interpret,
-    )(rds_tail, rds, chan, rds, ramps, rampr, offs, slps, offr, slpr)
+    )(rds_tail, rds, chan, rds, ramps, rampr, offs, slps, offr, slpr,
+      expand)
     return ms, mr
 
 

@@ -31,14 +31,22 @@ def _leaf_paths(tree) -> list[str]:
 
 
 def save_state(path: str, state) -> None:
-    """Serialize a receiver-state pytree to an .npz file."""
+    """Serialize a receiver-state pytree to an .npz file.
+
+    bfloat16 leaves (the fast engines' materialization dtype) are stored
+    as their uint16 bit patterns — numpy's npz would otherwise write them
+    as opaque void records — with the true dtype recorded in the
+    manifest for the load-side view back."""
     flat, _ = jax.tree_util.tree_flatten_with_path(state)
     paths = [jax.tree_util.keystr(p) for p, _ in flat]
     leaves = [np.asarray(l) for _, l in flat]
+    dtypes = [str(l.dtype) for l in leaves]
+    leaves = [l.view(np.uint16) if l.dtype.kind == "V" or
+              str(l.dtype) == "bfloat16" else l for l in leaves]
     arrays = {f"leaf_{i}": l for i, l in enumerate(leaves)}
     arrays["__format_version__"] = np.array(FORMAT_VERSION)
     arrays["__paths__"] = np.array(paths)
-    arrays["__dtypes__"] = np.array([str(l.dtype) for l in leaves])
+    arrays["__dtypes__"] = np.array(dtypes)
     with open(path, "wb") as f:
         np.savez(f, **arrays)
 
@@ -71,6 +79,13 @@ def load_state(path: str, like) -> object:
         if f"leaf_{n}" in data:
             raise ValueError(
                 f"checkpoint has more than the expected {n} leaves")
+        if "__dtypes__" in data:
+            # restore bfloat16 leaves from their stored uint16 bit patterns
+            import ml_dtypes
+            dts = [str(d) for d in data["__dtypes__"]]
+            saved = [s.view(ml_dtypes.bfloat16)
+                     if d == "bfloat16" and s.dtype == np.uint16 else s
+                     for s, d in zip(saved, dts)]
         for i, (s, l) in enumerate(zip(saved, leaves_like)):
             if s.shape != np.asarray(l).shape:
                 raise ValueError(

@@ -402,3 +402,36 @@ def test_cli_trace_iq(tmp_path):
     i_trace = np.loadtxt(base + "_i_time.dat", skiprows=1)[:, 1]
     expect = (cap[0:1024:2].astype(np.float32) - 128.0) / 128.0
     np.testing.assert_allclose(i_trace, expect, atol=1e-5)
+
+
+def test_checkpoint_roundtrip_fast_engines(tmp_path):
+    """--save-state/--resume semantics for the round-5 fast profile, whose
+    state layout differs from the default engines (raw u8 fe tail, fm/mixed
+    EXT-column contexts, ff phase track, in-kernel RDS delay context):
+    run-half + checkpoint + resume == one uninterrupted run."""
+    from sdr_tpu import tx
+    from sdr_tpu.config import MODES
+    from sdr_tpu.models.receiver import Receiver
+
+    cfg = MODES[0]
+    rx = Receiver(0, stereo=True, rds=True, fused_frontend="int8",
+                  pll_impl="ff", conv_dtype="bf16", fused_ifbank="bf16",
+                  conv_engine="tiled")
+    bs = rx.block_size_u8()
+    cap = tx.synthesize_capture(
+        cfg, seconds=4 * bs / 2 / cfg.rf_fs,
+        left=tx.tone(cfg.rf_fs, 1000.0, 2 * bs),
+        right=tx.tone(cfg.rf_fs, 2500.0, 2 * bs))[: 4 * bs]
+    full, _ = rx.run(cap, blocks_per_step=1)
+
+    out1, st = rx.run(cap[: 2 * bs], blocks_per_step=1)
+    path = str(tmp_path / "fast_state.npz")
+    save_state(path, st)
+    st2 = load_state(path, rx.init_state())
+    out2, _ = rx.run(cap[2 * bs:], blocks_per_step=1, state=st2)
+    for k in ("left", "rds_soft"):
+        joined = np.concatenate([np.asarray(out1[k], np.float32),
+                                 np.asarray(out2[k], np.float32)])
+        ref = np.asarray(full[k], np.float32)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(joined, ref, atol=1e-5 * scale)
