@@ -583,3 +583,34 @@ def test_fast_engine_split_invariance(rng):
         ref = np.asarray(full[key], np.float32)[: len(joined)]
         scale = max(np.abs(ref).max(), 1e-6)
         np.testing.assert_allclose(joined, ref, atol=atol * scale)
+
+
+def test_mode2_fast_stereo_rds():
+    """Mode 2 (44.1 kHz rational audio 147/800, RDS SPS=35) on the fast
+    profile: ffmix + fused IF-bank run, the audio-pair kernel correctly
+    declines (rational interp), and quality gates hold."""
+    from sdr_tpu.rds import decode_rds_soft
+    from sdr_tpu.rds import tx as rds_tx
+    from sdr_tpu.utils.compare import stereo_separation_db
+
+    cfg = MODES[2]
+    sec = 0.7
+    n = int(sec * cfg.rf_fs)
+    bits = rds_tx.standard_group_stream(pi=0x3D44, ps_name="MODE2   ",
+                                        n_groups=10)
+    cap = tx.synthesize_capture(
+        cfg, seconds=sec, left=tx.tone(cfg.rf_fs, 1000.0, n),
+        right=tx.tone(cfg.rf_fs, 2500.0, n),
+        rds_baseband=rds_tx.bits_to_baseband(bits, cfg.rf_fs)[:n], a_rds=0.1)
+    rx = Receiver(2, stereo=True, rds=True, fused_frontend="int8",
+                  pll_impl="ff", conv_dtype="bf16", fused_ifbank="bf16",
+                  conv_engine="tiled")
+    assert rx._fused_synth and rx._audio_pair is None  # rational audio
+    out, _ = rx.run(cap, blocks_per_step=2)
+    skip = cfg.audio_fs // 4
+    sep = stereo_separation_db(np.asarray(out["left"]),
+                               np.asarray(out["right"]),
+                               cfg.audio_fs, 1000.0, skip=skip)
+    assert sep > 15.0, f"mode-2 fast separation {sep:.1f} dB"
+    info = decode_rds_soft(np.asarray(out["rds_soft"]), cfg.rds_sps)
+    assert info.pi == 0x3D44 and info.groups_seen >= 3
