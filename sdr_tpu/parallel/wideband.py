@@ -74,7 +74,9 @@ def sharded_wideband_run(chan: WidebandChannelizer, rx: Receiver,
         taps=chan.taps, engine="pallas", ingest=pl_eng.ingest,
         tile=pl_eng.tile,
         compute_dtype=("bf16" if chan.compute_dtype == jnp.bfloat16
-                       else "f32"))._pl
+                       else "f32"),
+        out_dtype=("bf16" if pl_eng.out_dtype == jnp.bfloat16
+                   else "f32"))._pl
         for d in range(n_dev)]
     kp_l = subs[0].kp                       # per-device padded station rows
     bm = np.stack([np.asarray(s._bm) for s in subs])   # (n_dev, 2kp_l, rows)
